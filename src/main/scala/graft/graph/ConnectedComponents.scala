@@ -1,0 +1,138 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.io.TableIO
+
+/** Connected components (north-rule kernel #2), two interchangeable
+  * algorithms over the undirected (symmetrized) edge table:
+  *
+  *  - [[hashMin]]: synchronous min-label propagation — component id of v =
+  *    min vid reachable from v; converges in O(diameter) supersteps. Simple,
+  *    exact, and the semantics referee for the star variant.
+  *  - [[smallStarLargeStar]]: the alternating small-star/large-star edge
+  *    rewriting of Kiveris et al. ("Connected Components in MapReduce and
+  *    Beyond", SoCC'14) — O(log n) rounds on high-diameter graphs, the
+  *    scale path for 10^12-vertex web graphs.
+  *
+  * Both return `(vid LONG, component LONG)` with component = min member vid
+  * (deterministic), and checkpoint per-superstep state via [[TableIO]].
+  * The reference consumes CC semantics through its DBSCAN community
+  * expansion (CitationGraphs.go:2873) — ε-threshold similarity graph
+  * components; this kernel is that expansion made distributed.
+  */
+object ConnectedComponents {
+
+  /** Symmetrize + dedup: every undirected edge present in both directions. */
+  def symmetrize(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  def hashMin(
+      spark: SparkSession,
+      edges: DataFrame,
+      maxIters: Int = 100,
+      checkpointTable: String = null): DataFrame = {
+    val ckpt = Option(checkpointTable).filter(_.nonEmpty)
+    val sym = symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val vertices = sym.select(col("src").as("vid")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val (startStep, start) = ckpt.flatMap(TableIO.read(spark, _)) match {
+      case Some((meta, df)) => (meta.step.toInt + 1, df)
+      case None => (0, vertices.withColumn("component", col("vid")))
+    }
+    var labels = start.localCheckpoint(true)
+    var step = startStep
+    var changed = 1L
+    while (step < maxIters && changed > 0) {
+      // candidate = min(own component, min over in-neighbors' component)
+      val nbrMin = sym
+        .join(labels.withColumnRenamed("vid", "src"), "src")
+        .groupBy(col("dst").as("vid"))
+        .agg(min(col("component")).as("nbrMin"))
+      val next = labels
+        .join(nbrMin, Seq("vid"), "left")
+        .select(col("vid"),
+          least(col("component"), coalesce(col("nbrMin"), col("component")))
+            .as("component"),
+          col("component").as("prev"))
+        .localCheckpoint(true) // truncate lineage per superstep
+      changed = next.where(col("component") =!= col("prev")).count()
+      val result = next.select("vid", "component")
+      ckpt.foreach(t => TableIO.commit(result, t, step,
+        Map("changed" -> changed.toDouble)))
+      labels.unpersist()
+      labels = result
+      step += 1
+    }
+    sym.unpersist(); vertices.unpersist()
+    labels
+  }
+
+  /** Alternating large-star / small-star until the edge set reaches
+    * fixpoint; then component(v) = its parent in the resulting star forest.
+    *
+    * large-star: ∀u, m = min(N(u) ∪ {u}); emit (v, m) for v ∈ N(u), v > u.
+    * small-star: ∀u, m = min(N(u) ∪ {u}); emit (v, m) for v ∈ N(u), v ≤ u
+    * (plus (u, m)). Edge lists are kept as directed pairs with the
+    * neighborhood grouped on `u`.
+    */
+  def smallStarLargeStar(
+      spark: SparkSession,
+      edges: DataFrame,
+      maxIters: Int = 50): DataFrame = {
+    var e = symmetrize(edges)
+      .where(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("u"),
+        least(col("src"), col("dst")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    // invariant: pairs (u, v) with v < u ("child -> smaller neighbor")
+
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      // ---- large-star on the symmetric view -------------------------------
+      val sym = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val minN = sym.groupBy("u")
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      // connect every neighbor larger than u to m
+      val large = sym.join(minN, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v"))
+      val afterLarge = large.union(e).distinct()
+
+      // ---- small-star -----------------------------------------------------
+      val sym2 = afterLarge
+      val minN2 = sym2.groupBy("u")
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val small = sym2.join(minN2, "u")
+        .select(col("u"), col("v"), col("m"))
+      val newEdges = small.select(col("v").as("u"), col("m").as("v"))
+        .union(small.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .distinct()
+        .localCheckpoint(true) // truncate lineage per round
+
+      converged = newEdges.except(e).isEmpty && e.except(newEdges).isEmpty
+      e.unpersist()
+      e = newEdges
+      iter += 1
+    }
+    // star forest: every u points at its component min v; roots are their own
+    val vertices = symmetrize(edges).select(col("src").as("vid")).distinct()
+    vertices.join(e.select(col("u").as("vid"), col("v").as("component")),
+        Seq("vid"), "left")
+      .groupBy("vid").agg(min(coalesce(col("component"), col("vid"))).as("component"))
+  }
+}

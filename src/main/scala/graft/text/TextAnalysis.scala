@@ -1,0 +1,132 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * language-ID (n-gram/stopword heuristic), quality scoring, token counting,
+  * and rolling-hash document fingerprinting.
+  *
+  * All of these are built from codegen'd `org.apache.spark.sql.functions`
+  * where possible; the only UDFs are the language-ID scorer and the rolling
+  * hash (tight scalar loops over the string, no per-row allocation beyond the
+  * token array).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenizer (split on runs of whitespace, drop empties). */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => length(t) > 0)
+
+  /** Token count, pure column expression (stays in whole-stage codegen). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: word-piece regex split — letters runs, digit
+    * runs, and single punctuation marks each count as one token. */
+  def bpeishTokenCount(text: Column): Column = {
+    // one array pass; regexp_extract_all is codegen'd in Spark 4
+    size(regexp_extract_all(text, lit("[\\p{L}]+|[0-9]+|[^\\s\\p{L}0-9]"), lit(0)))
+  }
+
+  // Tiny embedded stopword lists for the n-gram-free language heuristic.
+  // Public knowledge (most frequent function words per language).
+  private val stops: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "was", "with", "a"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu", "den"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "une", "des", "que", "dans", "pour"),
+    "es" -> Seq("el", "la", "los", "y", "es", "no", "una", "que", "en", "por", "con")
+  )
+
+  /** Heuristic language ID: fraction of tokens that are stopwords of each
+    * candidate language; argmax, `und` (undetermined) if all scores are 0.
+    * Implemented as a scalar UDF (single pass over the token array). */
+  val langIdUdf = udf { (toks: Seq[String]) =>
+    if (toks == null || toks.isEmpty) "und"
+    else {
+      val lower = toks.map(_.toLowerCase)
+      var best = "und"; var bestHits = 0
+      // deterministic iteration order: sorted language keys
+      stops.toSeq.sortBy(_._1).foreach { case (lang, sw) =>
+        val swSet = sw.toSet
+        val hits = lower.count(swSet.contains)
+        if (hits > bestHits) { best = lang; bestHits = hits }
+      }
+      best
+    }
+  }
+
+  def langId(text: Column): Column = langIdUdf(tokens(text))
+
+  /** Quality scoring signals, all pure column expressions. Returns the input
+    * frame with `n_tokens`, `mean_token_len`, `punct_ratio`, `upper_ratio`,
+    * `stopword_ratio`, `quality_score` appended. */
+  def qualitySignals(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nTok = size(toks)
+    val nChar = length(t)
+    val enStops = stops("en")
+    val lowerToks = transform(toks, x => lower(x))
+    val stopHits = size(filter(lowerToks, x => x.isin(enStops: _*)))
+    df.withColumn("n_tokens", nTok)
+      .withColumn(
+        "mean_token_len",
+        when(nTok > 0, (nChar - (nTok - lit(1))).cast("double") / nTok).otherwise(lit(0.0)))
+      .withColumn(
+        "punct_ratio",
+        when(nChar > 0,
+          (nChar - length(regexp_replace(t, "[\\p{Punct}]", ""))).cast("double") / nChar)
+          .otherwise(lit(0.0)))
+      .withColumn(
+        "upper_ratio",
+        when(nChar > 0,
+          (nChar - length(regexp_replace(t, "[A-Z]", ""))).cast("double") / nChar)
+          .otherwise(lit(0.0)))
+      .withColumn(
+        "stopword_ratio",
+        when(nTok > 0, stopHits.cast("double") / nTok).otherwise(lit(0.0)))
+      .withColumn(
+        "quality_score",
+        // bounded [0,1]: reward stopword presence + moderate token length,
+        // penalize punctuation soup. Deterministic, branch-free.
+        greatest(lit(0.0), least(lit(1.0),
+          lit(0.5) * least(col("stopword_ratio") * 4, lit(1.0))
+            + lit(0.3) * least(col("n_tokens").cast("double") / 50.0, lit(1.0))
+            + lit(0.2) * (lit(1.0) - least(col("punct_ratio") * 5, lit(1.0))))))
+  }
+
+  /** 64-bit polynomial rolling-hash fingerprint of the whole document
+    * (base 1000003, over UTF-16 code units). Deterministic, order-sensitive:
+    * two documents share a fingerprint iff (modulo collisions) they are
+    * byte-identical — the exact-dedup key that avoids shuffling full text. */
+  val fingerprintUdf = udf { (s: String) =>
+    if (s == null) 0L
+    else {
+      var h = 1125899906842597L
+      var i = 0
+      while (i < s.length) { h = h * 1000003L + s.charAt(i).toLong; i += 1 }
+      h
+    }
+  }
+
+  def fingerprint(text: Column): Column = fingerprintUdf(text)
+
+  /** Character k-shingles of a document as an array column (distinct).
+    * Guarded: Spark's `sequence(a,b)` is descending when a > b, so short
+    * documents must produce an empty array, not a reversed range. */
+  def shingles(text: Column, k: Int): Column = {
+    val n = length(text) - (k - 1)
+    when(n >= 1,
+      array_distinct(transform(sequence(lit(1), n), i => substring(text, i, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Word n-grams as an array column (same descending-sequence guard). */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val m = size(toks) - (n - 1)
+    when(m >= 1,
+      transform(sequence(lit(0), m - 1), i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+}
