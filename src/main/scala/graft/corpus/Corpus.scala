@@ -1,0 +1,115 @@
+package graft.corpus
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.text.TextAnalysis
+
+/** Corpus representations (reference CitationGraphs.go:83-102) in long form:
+  *
+  *  - Corpus:    `(doc LONG, word INT, cnt INT)` bag-of-words
+  *  - CorpusX:   `(doc LONG, grp INT, word INT, cnt INT)` word groups
+  *  - CorpusSeq: `(doc LONG, pos INT, word INT)` positional sequences
+  *
+  * plus the vocab dimension `(term STRING, word INT)`.
+  *
+  * Vocab id assignment: the reference assigns ids in first-seen order while
+  * scanning docs sequentially (`AddDoc`, CitationGraphs.go:138-158) — a
+  * partitioning-dependent notion. The deterministic distributed equivalent
+  * (SURVEY.md §7 hard part b): id = `row_number` over `(first doc id, first
+  * position within that doc)` of each term, which equals the sequential
+  * first-seen order whenever docs are processed in doc-id order.
+  */
+object Corpus {
+
+  /** Tokenized long form `(doc, pos, term)` from `(doc, text)`. */
+  def tokens(docs: DataFrame, docCol: String = "doc", textCol: String = "text"): DataFrame =
+    docs.select(col(docCol).as("doc"),
+        posexplode(TextAnalysis.tokens(lower(col(textCol)))).as(Seq("pos", "term")))
+
+  /** Deterministic first-seen-order vocab: `(term, word)` with dense ids. */
+  def vocab(toks: DataFrame): DataFrame = {
+    val firstSeen = toks.groupBy("term")
+      .agg(min(struct(col("doc"), col("pos"))).as("first"))
+    firstSeen
+      .withColumn("word",
+        (row_number().over(Window.orderBy(col("first"), col("term"))) - 1))
+      .select(col("term"), col("word"))
+  }
+
+  /** Bag-of-words corpus + vocab from raw documents. */
+  def build(docs: DataFrame): (DataFrame, DataFrame) = {
+    val toks = tokens(docs).cache()
+    val v = vocab(toks)
+    val bow = toks.join(v, "term")
+      .groupBy("doc", "word").agg(count(lit(1)).cast("int").as("cnt"))
+    (bow, v)
+  }
+
+  /** Positional corpus (CorpusSeq) + vocab. */
+  def buildSeq(docs: DataFrame): (DataFrame, DataFrame) = {
+    val toks = tokens(docs).cache()
+    val v = vocab(toks)
+    (toks.join(v, "term").select("doc", "pos", "word"), v)
+  }
+
+  /** `Corpus.translate` (CitationGraphs.go:932-953): re-encode onto a new
+    * vocab; the reference log.Fatals on a missing term — here the returned
+    * `missing` frame must be asserted empty by the caller (J3 semantics). */
+  def translate(bow: DataFrame, oldVocab: DataFrame, newVocab: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val mapped = oldVocab.select(col("term"), col("word").as("oldWord"))
+      .join(newVocab.select(col("term"), col("word").as("newWord")), Seq("term"), "left")
+    val missing = mapped.where(col("newWord").isNull).select("term")
+    val out = bow.join(broadcast(mapped.where(col("newWord").isNotNull))
+        .select(col("oldWord").as("word"), col("newWord")), "word")
+      .select(col("doc"), col("newWord").as("word"), col("cnt"))
+    (out, missing)
+  }
+
+  /** A2/A3 — GetConcurrences: Σ_docs cnt1*cnt2 over same-doc word pairs,
+    * `w1 < w2` triangular enumeration (CitationGraphs.go:214-294). The
+    * self-join shuffles once on `doc`; the pair aggregation is a map-side
+    * combinable hash agg. */
+  def concurrences(bow: DataFrame): DataFrame = {
+    val a = bow.select(col("doc"), col("word").as("w1"), col("cnt").as("c1"))
+    val b = bow.select(col("doc"), col("word").as("w2"), col("cnt").as("c2"))
+    a.join(b, "doc")
+      .where(col("w1") < col("w2"))
+      .groupBy("w1", "w2")
+      .agg(sum(col("c1") * col("c2")).as("cooc"))
+  }
+
+  /** A4 — GetDocConcurrences: # distinct docs containing both words
+    * (CitationGraphs.go:835-928). */
+  def docConcurrences(bow: DataFrame): DataFrame = {
+    val a = bow.select(col("doc"), col("word").as("w1"))
+    val b = bow.select(col("doc"), col("word").as("w2"))
+    a.join(b, "doc")
+      .where(col("w1") < col("w2"))
+      .groupBy("w1", "w2")
+      .agg(countDistinct(col("doc")).as("docs"))
+  }
+
+  /** A8 — document lengths. */
+  def docLengths(bow: DataFrame): DataFrame =
+    bow.groupBy("doc").agg(sum("cnt").as("len"))
+
+  /** A9 — document frequency per word (IDF numerator). */
+  def docFreqs(bow: DataFrame): DataFrame =
+    bow.groupBy("word").agg(countDistinct(col("doc")).as("df"))
+
+  /** TF-IDF with the reference's doc-mean weight filter (P6/W6,
+    * CitationGraphs.go:2996-3005): keep `(doc, word)` whose weight is at
+    * least `minRatio` × the doc's mean weight. */
+  def tfidf(bow: DataFrame, numDocs: Long, minRatio: Double = 0.5): DataFrame = {
+    val withIdf = bow.join(docFreqs(bow), "word")
+      .withColumn("weight", col("cnt") * log(lit(numDocs.toDouble) / col("df")))
+    val w = Window.partitionBy("doc")
+    withIdf
+      .withColumn("docMean", avg("weight").over(w))
+      .where(col("weight") >= lit(minRatio) * col("docMean"))
+      .select("doc", "word", "weight")
+  }
+}

@@ -1,0 +1,92 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`ARRAY<FLOAT>`):
+  * brute-force cosine top-k as the exact baseline, and a random-hyperplane
+  * LSH-bucketed variant as the scale path (candidates only within matching
+  * buckets — the join key is a small int, embeddings never cross the
+  * shuffle more than once).
+  */
+object Ann {
+
+  /** Cosine over array columns via higher-order functions (codegen'd). */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+  }
+
+  /** Exact top-k neighbors per query vector against the corpus; both inputs
+    * `(id, vec)`. O(|q|·|c|) — the correctness baseline and the right
+    * answer when one side is broadcastable. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("id").as("qid"), col("vec").as("qv"))
+    val c = corpus.select(col("id").as("cid"), col("vec").as("cv"))
+    val scored = q.crossJoin(broadcast(c))
+      .where(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), cosine(col("qv"), col("cv")).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random unit hyperplane component: splitmix-style
+    * hash of (plane, dim) mapped to [-1, 1). Pure column expression. */
+  private def planeComponent(plane: Int, dim: Column): Column = {
+    val h = xxhash64(lit(plane), dim)
+    (h.cast("double") / lit(Long.MaxValue.toDouble))
+  }
+
+  /** Random-hyperplane LSH signature: `numPlanes` sign bits packed into a
+    * LONG. Vectors with equal signatures are near-neighbor candidates.
+    * `planeOffset` selects an independent plane family per hash table. */
+  def hyperplaneSignature(vec: Column, numPlanes: Int, planeOffset: Int = 0): Column = {
+    val bits = (0 until numPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") * planeComponent(planeOffset + p, i)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** LSH-bucketed ANN: equi-join on the signature bucket, exact cosine +
+    * top-k inside buckets. `numTables` independent hash tables raise
+    * recall; bucket id is the only shuffle key. */
+  def lshTopK(data: DataFrame, k: Int, numPlanes: Int = 8,
+      numTables: Int = 2): DataFrame = {
+    val tables = (0 until numTables).map { t =>
+      data.select(col("id"), col("vec"),
+        lit(t).as("table"),
+        hyperplaneSignature(col("vec"), numPlanes, planeOffset = t * numPlanes)
+          .as("bucket"))
+    }.reduce(_ union _)
+    val cand = tables.as("a").join(tables.as("b"),
+        col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket")
+          && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("qid"), col("b.id").as("cid"),
+        col("a.vec").as("qv"), col("b.vec").as("cv"))
+      .distinct()
+    val scored = cand.select(col("qid"), col("cid"),
+      cosine(col("qv"), col("cv")).as("sim")).distinct()
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold (the fifth
+    * dedup mode): LSH candidates -> exact cosine filter. */
+  def cosineNearDups(data: DataFrame, threshold: Double,
+      numPlanes: Int = 8): DataFrame = {
+    val sig = data.select(col("id"), col("vec"),
+      hyperplaneSignature(col("vec"), numPlanes).as("bucket"))
+    sig.as("a").join(sig.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        cosine(col("a.vec"), col("b.vec")).as("sim"))
+      .where(col("sim") >= threshold)
+  }
+}

@@ -1,0 +1,145 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.text.TextAnalysis
+
+/** Deduplication operators for a 100 TB training-data pipeline. Each one is
+  * declarative (Catalyst-optimizable), shuffles on the narrowest possible
+  * key, and never moves full document text through a shuffle when a hash
+  * will do.
+  *
+  *  - exact:       group by content fingerprint (64-bit hash), keep min id
+  *  - minhash LSH: shingle -> k minhashes -> banded buckets -> bucket join
+  *  - simhash:     64-bit weighted bit-vote fingerprint, hamming candidates
+  *  - ngramJaccard: exact Jaccard over word n-gram sets via pair counting
+  *  - embedding:   cosine near-dup over a vector column (see Ann.scala)
+  */
+object Dedup {
+
+  /** Exact dedup: one shuffle on the 8-byte fingerprint (never on text).
+    * Returns survivors `(id, text)` — min id per content group wins. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fp = TextAnalysis.fingerprint(col(textCol))
+    val w = Window.partitionBy(col("fp")).orderBy(col(idCol))
+    docs.withColumn("fp", fp)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .drop("fp", "rn")
+  }
+
+  /** Groups of exact duplicates `(fp, ids ARRAY, n)` with n > 1. */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .groupBy("fp")
+      .agg(sort_array(collect_list(col("id"))).as("ids"), count(lit(1)).as("n"))
+      .where(col("n") > 1)
+
+  // ---- MinHash + LSH --------------------------------------------------------
+
+  /** Deterministic per-shingle 64-bit hash, then k independent minhashes
+    * (seeded xxhash64 re-mix per hash index — overflow-free under ANSI
+    * mode). All pure column expressions (codegen'd); no UDF. */
+  def minhashSignature(textCol: Column, shingleK: Int, numHashes: Int): Column = {
+    val sh = TextAnalysis.shingles(textCol, shingleK)
+    val base = transform(sh, s => xxhash64(s))
+    val hashes = (0 until numHashes).map { i =>
+      array_min(transform(base, h => xxhash64(h, lit(i))))
+    }
+    array(hashes: _*)
+  }
+
+  /** Candidate near-dup pairs via banded LSH: docs sharing any band bucket.
+    * `(id1, id2)` with id1 < id2, distinct. The shuffle key is the (band,
+    * bucket-hash) pair — tiny rows; text never shuffles. */
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 5, numHashes: Int = 12, bands: Int = 4): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sig = docs.select(col(idCol).as("id"),
+      minhashSignature(col(textCol), shingleK, numHashes).as("sig"))
+    val banded = sig.select(col("id"), posexplode(
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+          xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))
+            .as("bucket")))
+    ).as(Seq("i", "bb")))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+  }
+
+  /** Exact word-n-gram Jaccard similarity for given candidate pairs (or all
+    * pairs sharing at least one n-gram when `candidates` is null). Pair
+    * counting: |A∩B| from a shingle equi-join, |A|,|B| from per-doc counts —
+    * never materializes a cross join. */
+  def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minJaccard: Double = 0.0): DataFrame = {
+    val grams = docs.select(col(idCol).as("id"),
+        explode(array_distinct(TextAnalysis.wordNgrams(col(textCol), n))).as("g"))
+    val counts = grams.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = grams.as("a").join(grams.as("b"),
+        col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.select(col("id").as("id1"), col("sz").as("sz1")), "id1")
+      .join(counts.select(col("id").as("id2"), col("sz").as("sz2")), "id2")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")))
+      .where(col("jaccard") >= minJaccard)
+      .select("id1", "id2", "jaccard")
+  }
+
+  // ---- SimHash --------------------------------------------------------------
+
+  /** 64-bit SimHash over tokens: per bit, vote +1/-1 by token-hash bit,
+    * fingerprint bit = sign of the vote sum. Computed as a scalar UDF (one
+    * pass over the token array, 64-int accumulator — no 64-column plan). */
+  val simhashUdf = udf { (toks: Seq[String]) =>
+    val votes = new Array[Int](64)
+    if (toks != null) toks.foreach { t =>
+      // splitmix64 of the token's polynomial hash — deterministic
+      var h = 1125899906842597L
+      var i = 0
+      while (i < t.length) { h = h * 1000003L + t.charAt(i).toLong; i += 1 }
+      h = graft.ingest.Pages.mix(h)
+      var bit = 0
+      while (bit < 64) {
+        if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+        bit += 1
+      }
+    }
+    var fp = 0L
+    var bit = 0
+    while (bit < 64) { if (votes(bit) > 0) fp |= (1L << bit); bit += 1 }
+    fp
+  }
+
+  def simhash(textCol: Column): Column = simhashUdf(TextAnalysis.tokens(textCol))
+
+  /** SimHash near-dup candidates within `maxHamming` bits, blocked by
+    * 16-bit fingerprint quarters (a pair within hamming distance 3 must
+    * agree on at least one of 4 quarters — pigeonhole), so the join is an
+    * equi-join on (quarter index, quarter value), never all-pairs. */
+  def simhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val withFp = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("fp"))
+    val blocks = withFp.select(col("id"), col("fp"), posexplode(
+      array((0 until 4).map(q =>
+        shiftright(col("fp"), q * 16).bitwiseAND(lit(0xffffL))): _*))
+      .as(Seq("q", "qv")))
+    val ham = (a: Column, b: Column) => bit_count(a.bitwiseXOR(b))
+    blocks.as("a").join(blocks.as("b"),
+        col("a.q") === col("b.q") && col("a.qv") === col("b.qv")
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        ham(col("a.fp"), col("b.fp")).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+}

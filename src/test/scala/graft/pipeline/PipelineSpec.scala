@@ -1,0 +1,153 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy cat"), // near dup
+    (3L, "completely different content about spark engines"),
+    (4L, "completely different content about spark engines"), // exact dup of 3
+    (5L, "unrelated short text")
+  ).toDF("id", "text")
+
+  test("exact dedup keeps min id per content group") {
+    val out = Dedup.exact(docs, "id", "text").as[(Long, String)].collect().toMap
+    assert(out.keySet == Set(0L, 2L, 3L, 5L))
+    val groups = Dedup.exactGroups(docs, "id", "text")
+      .select("ids").as[Seq[Long]].collect().toSet
+    assert(groups == Set(Seq(0L, 1L), Seq(3L, 4L)))
+  }
+
+  test("minhash LSH surfaces exact and near duplicates") {
+    val cand = Dedup.minhashCandidates(docs, "id", "text",
+      shingleK = 4, numHashes = 12, bands = 6)
+      .as[(Long, Long)].collect().toSet
+    assert(cand.contains((0L, 1L)), s"exact dup pair found: $cand")
+    assert(cand.contains((3L, 4L)))
+    assert(cand.contains((0L, 2L)) || cand.contains((1L, 2L)),
+      s"near dup found: $cand")
+  }
+
+  test("ngram jaccard: exact dups = 1.0, near dups in (0,1)") {
+    val sims = Dedup.ngramJaccard(docs, "id", "text", n = 2)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(sims((0L, 1L)) == 1.0)
+    assert(sims((0L, 2L)) > 0.4 && sims((0L, 2L)) < 1.0)
+    assert(!sims.contains((0L, 5L)), "no shared ngram, no pair emitted")
+  }
+
+  test("simhash: identical docs have hamming 0, near dups small distance") {
+    val cand = Dedup.simhashCandidates(docs, "id", "text", maxHamming = 12)
+      .as[(Long, Long, Int)].collect()
+      .map { case (a, b, h) => (a, b) -> h }.toMap
+    assert(cand((0L, 1L)) == 0)
+    assert(cand((3L, 4L)) == 0)
+    assert(cand.get((0L, 2L)).forall(_ > 0))
+  }
+
+  test("signatures are deterministic across partitionings") {
+    val s1 = docs.repartition(1)
+      .select($"id", Dedup.simhash($"text")).as[(Long, Long)].collect().toMap
+    val s7 = docs.repartition(7)
+      .select($"id", Dedup.simhash($"text")).as[(Long, Long)].collect().toMap
+    assert(s1 == s7)
+  }
+}
+
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  // orthogonal-ish clusters in 4d
+  val vecs = Seq(
+    (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Seq(0.9f, 0.1f, 0.0f, 0.0f)),
+    (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+    (3L, Seq(0.0f, 0.9f, 0.1f, 0.0f)),
+    (4L, Seq(0.0f, 0.0f, 1.0f, 0.0f)),
+    (5L, Seq(0.0f, 0.0f, 0.9f, 0.1f))
+  ).toDF("id", "vec")
+
+  test("brute-force top-1 finds the cluster partner") {
+    val top1 = Ann.bruteForceTopK(vecs, vecs, 1)
+      .select("qid", "cid").as[(Long, Long)].collect().toMap
+    assert(top1(0L) == 1L && top1(1L) == 0L)
+    assert(top1(2L) == 3L && top1(3L) == 2L)
+    assert(top1(4L) == 5L && top1(5L) == 4L)
+  }
+
+  test("cosine of identical vectors is 1") {
+    val sims = vecs.as("a").crossJoin(vecs.as("b"))
+      .where($"a.id" === $"b.id")
+      .select(Ann.cosine($"a.vec", $"b.vec")).as[Double].collect()
+    sims.foreach(s => assert(math.abs(s - 1.0) < 1e-6))
+  }
+
+  test("LSH buckets group same-direction vectors; topK subset of brute force") {
+    val lsh = Ann.lshTopK(vecs, k = 1, numPlanes = 4, numTables = 3)
+      .select("qid", "cid", "sim").as[(Long, Long, Double)].collect()
+    // whatever LSH returns must score identically to brute force
+    val brute = Ann.bruteForceTopK(vecs, vecs, 5)
+      .select("qid", "cid", "sim").as[(Long, Long, Double)].collect()
+      .map { case (q, c, s) => (q, c) -> s }.toMap
+    lsh.foreach { case (q, c, s) =>
+      assert(math.abs(brute((q, c)) - s) < 1e-9)
+    }
+  }
+
+  test("cosine near-dups finds the planted close pairs") {
+    val pairs = Ann.cosineNearDups(vecs, threshold = 0.95, numPlanes = 4)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    // at least one of the three planted near-pairs must share a bucket
+    assert(pairs.nonEmpty)
+    assert(pairs.subsetOf(Set((0L, 1L), (2L, 3L), (4L, 5L))),
+      s"only genuinely close pairs pass the exact filter: $pairs")
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val media = Multimodal.synthesize(spark, 30).cache()
+
+  test("media table schema and determinism") {
+    assert(media.schema.fieldNames.toSeq ==
+      Seq("media_id", "mime", "payload", "meta_w", "meta_h", "meta_ms"))
+    val a = Multimodal.synthesize(spark, 10, 2)
+      .select("media_id", "payload").as[(Long, Array[Byte])]
+      .collect().map { case (i, p) => (i, p.toSeq) }.toMap
+    val b = Multimodal.synthesize(spark, 10, 5)
+      .select("media_id", "payload").as[(Long, Array[Byte])]
+      .collect().map { case (i, p) => (i, p.toSeq) }.toMap
+    assert(a == b)
+  }
+
+  test("feature extraction: schema, batch shape, deterministic values") {
+    val feats = Multimodal.extractFeatures(media)
+    assert(feats.schema == Multimodal.featureSchema)
+    val rows = feats.as[(Long, String, Int, Seq[Float])].collect()
+    assert(rows.length == 30)
+    rows.foreach { case (_, _, n, f) =>
+      assert(n > 0 && f.length == 8)
+    }
+    // deterministic: same media id -> same feature under any partitioning
+    val again = Multimodal.extractFeatures(media.repartition(13))
+      .as[(Long, String, Int, Seq[Float])].collect()
+      .map(r => r._1 -> r._4).toMap
+    rows.foreach { case (id, _, _, f) => assert(again(id) == f) }
+  }
+
+  test("frame sampling is a generator over payload blocks") {
+    val frames = Multimodal.sampleFrames(media, stride = 2)
+    val counts = frames.groupBy("media_id").count()
+      .as[(Long, Long)].collect().toMap
+    counts.foreach { case (_, c) => assert(c >= 1) }
+    assert(frames.columns.toSeq == Seq("media_id", "frame_idx", "frame_bytes"))
+  }
+}
