@@ -1,13 +1,545 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.graph.{ConnectedComponents, LabelPropagation, PageRank, Triangles}
+import graft.ingest.{Graphs, Pages}
+import graft.metrics.Metrics
+import graft.pipeline.{Ann, Dedup, Multimodal}
+import graft.text.{TextAnalysis, Tidy}
+
+/** Driver contract — one `queries` entry per implemented operator family
+  * (SURVEY.md §2), with DuckDB-equivalent `oracleSql` wherever the operator
+  * is ANSI-SQL-expressible. Column names/types are aligned between the two
+  * sides (the driver sorts columns by name and hashes values).
+  *
+  * Graph-kernel queries run on edge tables derived deterministically from
+  * `lineitem` (pure modular arithmetic — identical in Spark and DuckDB), so
+  * the kernels get real DuckDB oracles: recursive-CTE components, unrolled
+  * PageRank/label-propagation iterations, three-way-join triangles.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def li(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/lineitem.parquet")
+  private def docs(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Derived edge tables — deterministic functions of lineitem keys. */
+  private def edgesPR(s: SparkSession, dir: String): DataFrame =
+    li(s, dir).select(
+        (col("l_orderkey") % 1000).as("src"), (col("l_partkey") % 1000).as("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+
+  private def edgesCC(s: SparkSession, dir: String): DataFrame =
+    li(s, dir).select(
+        ((col("l_orderkey") % 1500) * 8 + col("l_partkey") % 8).as("src"),
+        ((col("l_orderkey") % 1500) * 8 + col("l_suppkey") % 8).as("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+
+  private def edgesTri(s: SparkSession, dir: String): DataFrame =
+    li(s, dir).select(
+        (col("l_partkey") % 300).as("src"), (col("l_suppkey") % 300).as("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+
+  private def tokensOf(textCol: Column): Column = TextAnalysis.tokens(textCol)
+
+  /** Flagship: full pages -> link graph -> PageRank pipeline at sf-agnostic
+    * small scale; driver smoke-checks rows > 0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val pages = Pages.synthesize(spark, 2000, seed = 42L, partitions = 8)
+    val (_, edges) = Graphs.buildGraph(pages)
+    PageRank.run(spark, edges, maxIters = 10).ranks
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- graph kernels (north-rule core) -----------------------------------
+    "g_pagerank" -> ((s, dir) => {
+      val r = PageRank.run(s, edgesPR(s, dir), maxIters = 5, tol = -1.0).ranks
+      r.select(col("vid"), round(col("rank"), 6).as("rank"))
+    }),
+    "g_components" -> ((s, dir) =>
+      ConnectedComponents.hashMin(s, edgesCC(s, dir))
+        .select(col("vid"), col("component"))),
+    "g_components_star" -> ((s, dir) =>
+      ConnectedComponents.smallStarLargeStar(s, edgesCC(s, dir))
+        .select(col("vid"), col("component"))),
+    "g_labelprop" -> ((s, dir) =>
+      LabelPropagation.run(s, edgesCC(s, dir), numIters = 2)
+        .select(col("vid"), col("label"))),
+    "g_triangles" -> ((s, dir) =>
+      Triangles.perVertex(edgesTri(s, dir))
+        .select(col("vid"), col("triangles"))),
+    "g_degree_hist" -> ((s, dir) =>
+      Graphs.degreeHistogram(edgesPR(s, dir))
+        .select(col("log2deg"), col("vertices"), col("edges"))),
+
+    // ---- reference relational surface (SURVEY §2.2-2.8) --------------------
+    // P2 — range filter + projection (predicate pushdown path)
+    "p_filter_range" -> ((s, dir) =>
+      li(s, dir).where(col("l_quantity") > 45.0 && col("l_discount") < 0.05)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_quantity"))),
+    // A1 — per-doc word counts (AddDoc)
+    "a_wordcount" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), explode(tokensOf(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))),
+    // A2/J7 — same-doc co-occurrence pairs, w1 < w2, count of doc pairs
+    "a_cooccurrence" -> ((s, dir) => {
+      val t = docs(s, dir)
+        .select(col("doc_id"), explode(array_distinct(tokensOf(col("text")))).as("tok"))
+      t.as("a").join(t.as("b"),
+          col("a.doc_id") === col("b.doc_id") && col("a.tok") < col("b.tok"))
+        .groupBy(col("a.tok").as("w1"), col("b.tok").as("w2"))
+        .agg(count(lit(1)).as("docs"))
+        .where(col("docs") >= 3)
+    }),
+    // A5/W3 — adjacent-bigram counts via lag window
+    "a_bigrams" -> ((s, dir) => {
+      val t = docs(s, dir).select(col("doc_id"),
+        posexplode(tokensOf(col("text"))).as(Seq("pos", "tok")))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      t.withColumn("prev", lag("tok", 1).over(w))
+        .where(col("prev").isNotNull)
+        .groupBy(col("prev").as("w1"), col("tok").as("w2"))
+        .agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") >= 2)
+    }),
+    // A9 — document frequency (IDF numerator)
+    "a_docfreq" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), explode(array_distinct(tokensOf(col("text")))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+        .where(col("df") >= 5)),
+    // A11 — label-year histogram
+    "a_type_year" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      ev.groupBy(col("event_type"), year(col("ts")).cast("long").as("yr"))
+        .agg(count(lit(1)).as("cnt"))
+    }),
+    // A12 — in-degree by source group (the PageRank seed aggregation)
+    "a_indegree" -> ((s, dir) =>
+      edgesPR(s, dir).groupBy(col("dst")).agg(count(lit(1)).as("indeg"))),
+    // A13 — SortByYear: year -> deterministic ordered digest of members
+    "a_sort_by_year" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      o.groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+        .agg(count(lit(1)).as("cnt"),
+          array_join(sort_array(collect_set(col("o_orderpriority"))), ",").as("prios"))
+    }),
+    // W1/§2.6 — top-k per group via rank window
+    "w_topk" -> ((s, dir) => {
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(desc("l_extendedprice"), asc("l_orderkey"), asc("l_linenumber"))
+      li(s, dir).withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select(col("l_suppkey"), col("rk").cast("long").as("rk"), col("l_orderkey"),
+          col("l_extendedprice"))
+    }),
+    // W6/P6 — doc-mean filter: lines with qty >= 1.2 * order average
+    "w_above_mean" -> ((s, dir) => {
+      val w = Window.partitionBy("l_orderkey")
+      li(s, dir).withColumn("avgq", avg("l_quantity").over(w))
+        .where(col("l_quantity") >= lit(1.2) * col("avgq"))
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"))
+    }),
+    // U1/S2 — union + distinct edge symmetrization count
+    "u_symmetrize" -> ((s, dir) => {
+      val e = edgesPR(s, dir)
+      ConnectedComponents.symmetrize(e)
+        .agg(count(lit(1)).as("sym_edges"))
+    }),
+    // U3/J — anti join: customers with no orders
+    "j_anti" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"))
+    }),
+    // J — semi join: brands appearing in lineitem
+    "j_semi" -> ((s, dir) => {
+      val p = s.read.parquet(s"$dir/part.parquet")
+      p.join(li(s, dir), p("p_partkey") === col("l_partkey"), "left_semi")
+        .groupBy(col("p_brand")).agg(count(lit(1)).as("parts"))
+    }),
+    // J2-style two-hop join: order -> customer -> nation revenue rollup
+    "j_twohop" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val n = s.read.parquet(s"$dir/nation.parquet")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("orders"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))
+    }),
+    // F1-F3 — TidyTitle applied to document text (SQL-expressible because
+    // every &// entity match becomes the literal <?>)
+    "f_tidytitle" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), Tidy.tidy_title(col("text")).as("tidy"))),
+    // F10/P5 — pair lift filter over co-occurring tokens
+    "f_lift" -> ((s, dir) => {
+      val t = docs(s, dir)
+        .select(col("doc_id"), explode(array_distinct(tokensOf(col("text")))).as("tok"))
+      val n = docs(s, dir).count()
+      val dfreq = t.groupBy("tok").agg(count(lit(1)).as("df"))
+      val pairs = t.as("a").join(t.as("b"),
+          col("a.doc_id") === col("b.doc_id") && col("a.tok") < col("b.tok"))
+        .groupBy(col("a.tok").as("w1"), col("b.tok").as("w2"))
+        .agg(count(lit(1)).as("freq"))
+      pairs
+        .join(dfreq.select(col("tok").as("w1"), col("df").as("df1")), "w1")
+        .join(dfreq.select(col("tok").as("w2"), col("df").as("df2")), "w2")
+        .withColumn("expected",
+          col("df1").cast("double") * col("df2") / n.toDouble)
+        .where(col("freq") >= 5 && col("freq") >= lit(2.0) * col("expected"))
+        .select(col("w1"), col("w2"), col("freq"),
+          round(col("expected"), 6).as("expected"))
+    }),
+
+    // ---- training-data pipeline --------------------------------------------
+    "d_exact_dedup" -> ((s, dir) =>
+      Dedup.exact(docs(s, dir), "doc_id", "text").select(col("doc_id"))),
+    "d_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(docs(s, dir), "doc_id", "text", n = 3, minJaccard = 0.5)
+        .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))),
+    "d_minhash_pairs" -> ((s, dir) => // rows-only: hash family not in SQL
+      Dedup.minhashCandidates(docs(s, dir), "doc_id", "text")
+        .select(col("id1"), col("id2"))),
+    "d_simhash" -> ((s, dir) => // rows-only
+      Dedup.simhashCandidates(docs(s, dir), "doc_id", "text", maxHamming = 8)
+        .select(col("id1"), col("id2"), col("hamming"))),
+    "t_tokencount" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"),
+        TextAnalysis.bpeishTokenCount(col("text")).cast("long").as("n_bpe"))),
+    "t_quality" -> ((s, dir) => // rows-only: composite heuristic
+      TextAnalysis.qualitySignals(docs(s, dir), "text")
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          round(col("stopword_ratio"), 6).as("stopword_ratio"),
+          round(col("quality_score"), 6).as("quality_score"))),
+    "t_langid" -> ((s, dir) => // rows-only: heuristic detector
+      docs(s, dir).select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))),
+    "t_fingerprint" -> ((s, dir) => // rows-only: 64-bit rolling hash
+      docs(s, dir).select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))),
+    "e_ann_top1" -> ((s, dir) => {
+      val v = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Ann.bruteForceTopK(v, v, 1)
+        .select(col("qid"), col("cid"), round(col("sim"), 4).as("sim"))
+    }),
+    "e_lsh_top1" -> ((s, dir) => { // rows-only: LSH recall is probabilistic
+      val v = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Ann.lshTopK(v, k = 1).select(col("qid"), col("cid"))
+    }),
+    "mm_features" -> ((s, dir) => { // rows-only: synthesized media
+      val m = Multimodal.synthesize(s, 200)
+      Multimodal.extractFeatures(m)
+        .select(col("media_id"), col("mime"), col("n_bytes"))
+    }),
+
+    // ---- clustering metrics (J5 + A19) -------------------------------------
+    "m_contingency" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val c1 = c.select(col("c_nationkey").cast("long").as("cid"),
+        col("c_custkey").as("member"))
+      val c2 = c.select(
+        (col("c_acctbal") > 0).cast("long").as("cid"), col("c_custkey").as("member"))
+      Metrics.contingency(c1, c2)
+        .select(col("cid1"), col("cid2"), col("nij"))
+    }),
+    "m_rand_index" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val c1 = c.select(col("c_nationkey").cast("long").as("cid"),
+        col("c_custkey").as("member"))
+      val c2 = c.select(col("c_mktsegment").as("cid"), col("c_custkey").as("member"))
+      val sess = s
+      import sess.implicits._
+      Seq(Metrics.randIndex(c1, c2)).toDF("ri")
+        .select(round(col("ri"), 6).as("ri"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = {
+    val edgesPRSql =
+      """SELECT DISTINCT l_orderkey % 1000 AS src, l_partkey % 1000 AS dst
+        |FROM lineitem WHERE l_orderkey % 1000 <> l_partkey % 1000""".stripMargin
+    val edgesCCSql =
+      """SELECT DISTINCT (l_orderkey % 1500) * 8 + l_partkey % 8 AS src,
+        |  (l_orderkey % 1500) * 8 + l_suppkey % 8 AS dst
+        |FROM lineitem
+        |WHERE (l_orderkey % 1500) * 8 + l_partkey % 8
+        |   <> (l_orderkey % 1500) * 8 + l_suppkey % 8""".stripMargin
+    val edgesTriSql =
+      """SELECT DISTINCT l_partkey % 300 AS src, l_suppkey % 300 AS dst
+        |FROM lineitem WHERE l_partkey % 300 <> l_suppkey % 300""".stripMargin
+    val toks =
+      """SELECT doc_id, t.tok FROM documents,
+        |  unnest(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS t(tok)"""
+        .stripMargin
+    val dtoks =
+      s"""SELECT DISTINCT doc_id, tok FROM ($toks)"""
+
+    Map(
+      "g_pagerank" -> s"""
+        |WITH e AS ($edgesPRSql),
+        |v AS (SELECT src AS vid FROM e UNION SELECT dst FROM e),
+        |n AS (SELECT count(*)::DOUBLE AS n FROM v),
+        |deg AS (SELECT src, count(*)::DOUBLE AS outdeg FROM e GROUP BY src),
+        |r0 AS (SELECT vid, 1.0/(SELECT n FROM n) AS rank FROM v),
+        |s1 AS (SELECT e.dst AS vid, sum(r0.rank/deg.outdeg) AS m FROM e
+        |       JOIN r0 ON e.src=r0.vid JOIN deg ON e.src=deg.src GROUP BY e.dst),
+        |d1 AS (SELECT coalesce(sum(r0.rank),0.0) AS dm FROM r0 LEFT JOIN deg ON r0.vid=deg.src WHERE deg.src IS NULL),
+        |r1 AS (SELECT v.vid, 0.15/(SELECT n FROM n) + 0.85*(coalesce(s1.m,0.0)+(SELECT dm FROM d1)/(SELECT n FROM n)) AS rank
+        |       FROM v LEFT JOIN s1 ON v.vid=s1.vid),
+        |s2 AS (SELECT e.dst AS vid, sum(r1.rank/deg.outdeg) AS m FROM e
+        |       JOIN r1 ON e.src=r1.vid JOIN deg ON e.src=deg.src GROUP BY e.dst),
+        |d2 AS (SELECT coalesce(sum(r1.rank),0.0) AS dm FROM r1 LEFT JOIN deg ON r1.vid=deg.src WHERE deg.src IS NULL),
+        |r2 AS (SELECT v.vid, 0.15/(SELECT n FROM n) + 0.85*(coalesce(s2.m,0.0)+(SELECT dm FROM d2)/(SELECT n FROM n)) AS rank
+        |       FROM v LEFT JOIN s2 ON v.vid=s2.vid),
+        |s3 AS (SELECT e.dst AS vid, sum(r2.rank/deg.outdeg) AS m FROM e
+        |       JOIN r2 ON e.src=r2.vid JOIN deg ON e.src=deg.src GROUP BY e.dst),
+        |d3 AS (SELECT coalesce(sum(r2.rank),0.0) AS dm FROM r2 LEFT JOIN deg ON r2.vid=deg.src WHERE deg.src IS NULL),
+        |r3 AS (SELECT v.vid, 0.15/(SELECT n FROM n) + 0.85*(coalesce(s3.m,0.0)+(SELECT dm FROM d3)/(SELECT n FROM n)) AS rank
+        |       FROM v LEFT JOIN s3 ON v.vid=s3.vid),
+        |s4 AS (SELECT e.dst AS vid, sum(r3.rank/deg.outdeg) AS m FROM e
+        |       JOIN r3 ON e.src=r3.vid JOIN deg ON e.src=deg.src GROUP BY e.dst),
+        |d4 AS (SELECT coalesce(sum(r3.rank),0.0) AS dm FROM r3 LEFT JOIN deg ON r3.vid=deg.src WHERE deg.src IS NULL),
+        |r4 AS (SELECT v.vid, 0.15/(SELECT n FROM n) + 0.85*(coalesce(s4.m,0.0)+(SELECT dm FROM d4)/(SELECT n FROM n)) AS rank
+        |       FROM v LEFT JOIN s4 ON v.vid=s4.vid),
+        |s5 AS (SELECT e.dst AS vid, sum(r4.rank/deg.outdeg) AS m FROM e
+        |       JOIN r4 ON e.src=r4.vid JOIN deg ON e.src=deg.src GROUP BY e.dst),
+        |d5 AS (SELECT coalesce(sum(r4.rank),0.0) AS dm FROM r4 LEFT JOIN deg ON r4.vid=deg.src WHERE deg.src IS NULL),
+        |r5 AS (SELECT v.vid, 0.15/(SELECT n FROM n) + 0.85*(coalesce(s5.m,0.0)+(SELECT dm FROM d5)/(SELECT n FROM n)) AS rank
+        |       FROM v LEFT JOIN s5 ON v.vid=s5.vid)
+        |SELECT vid, round(rank, 6) AS rank FROM r5""".stripMargin,
+
+      "g_components" -> s"""
+        |WITH RECURSIVE e AS ($edgesCCSql),
+        |sym AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
+        |v AS (SELECT a AS vid FROM sym UNION SELECT b FROM sym),
+        |reach(vid, c) AS (
+        |  SELECT vid, vid FROM v
+        |  UNION
+        |  SELECT sym.b, reach.c FROM reach JOIN sym ON reach.vid = sym.a
+        |)
+        |SELECT vid, min(c) AS component FROM reach GROUP BY vid""".stripMargin,
+
+      "g_components_star" -> s"""
+        |WITH RECURSIVE e AS ($edgesCCSql),
+        |sym AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
+        |v AS (SELECT a AS vid FROM sym UNION SELECT b FROM sym),
+        |reach(vid, c) AS (
+        |  SELECT vid, vid FROM v
+        |  UNION
+        |  SELECT sym.b, reach.c FROM reach JOIN sym ON reach.vid = sym.a
+        |)
+        |SELECT vid, min(c) AS component FROM reach GROUP BY vid""".stripMargin,
+
+      "g_labelprop" -> s"""
+        |WITH e AS ($edgesCCSql),
+        |sym AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
+        |v AS (SELECT a AS vid FROM sym UNION SELECT b FROM sym),
+        |l0 AS (SELECT vid, vid AS label FROM v),
+        |c1 AS (SELECT sym.b AS vid, l0.label, count(*) AS cnt FROM sym
+        |       JOIN l0 ON sym.a = l0.vid GROUP BY sym.b, l0.label),
+        |m1 AS (SELECT vid, label FROM (
+        |       SELECT vid, label, row_number() OVER
+        |         (PARTITION BY vid ORDER BY cnt DESC, label ASC) AS rn FROM c1)
+        |       WHERE rn = 1),
+        |l1 AS (SELECT v.vid, coalesce(m1.label, v.vid) AS label
+        |       FROM v LEFT JOIN m1 ON v.vid = m1.vid),
+        |c2 AS (SELECT sym.b AS vid, l1.label, count(*) AS cnt FROM sym
+        |       JOIN l1 ON sym.a = l1.vid GROUP BY sym.b, l1.label),
+        |m2 AS (SELECT vid, label FROM (
+        |       SELECT vid, label, row_number() OVER
+        |         (PARTITION BY vid ORDER BY cnt DESC, label ASC) AS rn FROM c2)
+        |       WHERE rn = 1)
+        |SELECT v.vid, coalesce(m2.label, v.vid) AS label
+        |FROM v LEFT JOIN m2 ON v.vid = m2.vid""".stripMargin,
+
+      "g_triangles" -> s"""
+        |WITH e AS ($edgesTriSql),
+        |canon AS (SELECT DISTINCT least(src,dst) AS u, greatest(src,dst) AS v FROM e),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |        FROM canon e1 JOIN canon e2 ON e1.u = e2.u AND e1.v < e2.v
+        |        JOIN canon e3 ON e3.u = e1.v AND e3.v = e2.v),
+        |members AS (SELECT a AS vid FROM tri UNION ALL SELECT b FROM tri
+        |            UNION ALL SELECT c FROM tri),
+        |verts AS (SELECT u AS vid FROM canon UNION SELECT v FROM canon)
+        |SELECT verts.vid, coalesce(t.cnt, 0) AS triangles
+        |FROM verts LEFT JOIN (SELECT vid, count(*) AS cnt FROM members GROUP BY vid) t
+        |ON verts.vid = t.vid""".stripMargin,
+
+      "g_degree_hist" -> s"""
+        |WITH e AS ($edgesPRSql),
+        |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src)
+        |SELECT floor(log2(outdeg))::BIGINT AS log2deg, count(*) AS vertices,
+        |       sum(outdeg)::BIGINT AS edges
+        |FROM deg GROUP BY 1""".stripMargin,
+
+      "p_filter_range" -> """
+        |SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber, l_quantity
+        |FROM lineitem WHERE l_quantity > 45.0 AND l_discount < 0.05""".stripMargin,
+
+      "a_wordcount" -> s"""
+        |SELECT doc_id, tok, count(*) AS cnt FROM ($toks) GROUP BY doc_id, tok""".stripMargin,
+
+      "a_cooccurrence" -> s"""
+        |WITH t AS ($dtoks)
+        |SELECT a.tok AS w1, b.tok AS w2, count(*) AS docs
+        |FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
+
+      "a_bigrams" -> s"""
+        |WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS ts
+        |  FROM documents),
+        |seq AS (SELECT doc_id, s.tok AS tok, s.i AS i FROM toks,
+        |  unnest(list_transform(ts, (x, i) -> struct_pack(tok := x, i := i))) AS u(s)),
+        |lagged AS (SELECT a.tok AS w1, b.tok AS w2
+        |  FROM seq a JOIN seq b ON a.doc_id = b.doc_id AND b.i = a.i + 1)
+        |SELECT w1, w2, count(*) AS cnt FROM lagged GROUP BY 1, 2
+        |HAVING count(*) >= 2""".stripMargin,
+
+      "a_docfreq" -> s"""
+        |SELECT tok, count(*) AS df FROM ($dtoks) GROUP BY tok
+        |HAVING count(*) >= 5""".stripMargin,
+
+      "a_type_year" -> """
+        |SELECT event_type, year(ts)::BIGINT AS yr, count(*) AS cnt
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+      "a_indegree" -> s"""
+        |WITH e AS ($edgesPRSql)
+        |SELECT dst, count(*) AS indeg FROM e GROUP BY dst""".stripMargin,
+
+      "a_sort_by_year" -> """
+        |SELECT year(o_orderdate)::BIGINT AS yr, count(*) AS cnt,
+        |  array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS prios
+        |FROM orders GROUP BY 1""".stripMargin,
+
+      "w_topk" -> """
+        |SELECT l_suppkey, rk::BIGINT AS rk, l_orderkey, l_extendedprice FROM (
+        |  SELECT l_suppkey, l_orderkey, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC) AS rk
+        |  FROM lineitem) WHERE rk <= 3""".stripMargin,
+
+      "w_above_mean" -> """
+        |SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber FROM (
+        |  SELECT l_orderkey, l_linenumber, l_quantity,
+        |    avg(l_quantity) OVER (PARTITION BY l_orderkey) AS avgq
+        |  FROM lineitem) WHERE l_quantity >= 1.2 * avgq""".stripMargin,
+
+      "u_symmetrize" -> s"""
+        |WITH e AS ($edgesPRSql),
+        |sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e)
+        |SELECT count(*) AS sym_edges FROM sym WHERE src <> dst""".stripMargin,
+
+      "j_anti" -> """
+        |SELECT c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+      "j_semi" -> """
+        |SELECT p_brand, count(*) AS parts FROM part
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        |GROUP BY p_brand""".stripMargin,
+
+      "j_twohop" -> """
+        |SELECT n_name, count(*) AS orders, round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+
+      "f_tidytitle" -> """
+        |SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      replace(replace(replace(replace(replace(trim(text),
+        |        '&lt;', '<'), '&gt;', '>'), '&amp;', '&'), '&quot;', '"'),
+        |        '&apos;', ''''),
+        |      '&//[Xx][A-Fa-f0-9]+;', '<?>', 'g'),
+        |    '&//[0-9]+;', '<?>', 'g') AS tidy
+        |FROM documents""".stripMargin,
+
+      "f_lift" -> s"""
+        |WITH t AS ($dtoks),
+        |n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+        |dfreq AS (SELECT tok, count(*) AS df FROM t GROUP BY tok),
+        |pairs AS (SELECT a.tok AS w1, b.tok AS w2, count(*) AS freq
+        |  FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        |  GROUP BY 1, 2)
+        |SELECT w1, w2, freq,
+        |  round(d1.df::DOUBLE * d2.df / (SELECT n FROM n), 6) AS expected
+        |FROM pairs JOIN dfreq d1 ON w1 = d1.tok JOIN dfreq d2 ON w2 = d2.tok
+        |WHERE freq >= 5 AND freq >= 2.0 * (d1.df::DOUBLE * d2.df / (SELECT n FROM n))""".stripMargin,
+
+      "d_exact_dedup" -> """
+        |SELECT min(doc_id) AS doc_id FROM documents GROUP BY text""".stripMargin,
+
+      "d_ngram_jaccard" -> """
+        |WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS ts
+        |  FROM documents),
+        |grams AS (SELECT DISTINCT doc_id,
+        |    s.w || ' ' || ts[s.i + 1] || ' ' || ts[s.i + 2] AS g
+        |  FROM toks,
+        |    unnest(list_transform(ts, (x, i) -> struct_pack(w := x, i := i))) AS u(s)
+        |  WHERE s.i + 2 <= len(ts)),
+        |counts AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id1, id2,
+        |  round(i::DOUBLE / (c1.sz + c2.sz - i), 6) AS jaccard
+        |FROM inter JOIN counts c1 ON id1 = c1.doc_id
+        |JOIN counts c2 ON id2 = c2.doc_id
+        |WHERE i::DOUBLE / (c1.sz + c2.sz - i) >= 0.5""".stripMargin,
+
+      "t_tokencount" -> """
+        |SELECT doc_id,
+        |  len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0))::BIGINT AS n_tok,
+        |  len(regexp_extract_all(text, '[\p{L}]+|[0-9]+|[^\s\p{L}0-9]'))::BIGINT AS n_bpe
+        |FROM documents""".stripMargin,
+
+      "e_ann_top1" -> """
+        |WITH pairs AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS cid,
+        |    list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |    sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]) *
+        |         list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])) AS sim
+        |  FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id)
+        |SELECT qid, cid, round(sim, 4) AS sim FROM (
+        |  SELECT qid, cid, sim, row_number() OVER
+        |    (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rk FROM pairs)
+        |WHERE rk = 1""".stripMargin,
+
+      "m_contingency" -> """
+        |WITH c1 AS (SELECT c_nationkey::BIGINT AS cid, c_custkey AS member FROM customer),
+        |c2 AS (SELECT (c_acctbal > 0)::BIGINT AS cid, c_custkey AS member FROM customer)
+        |SELECT c1.cid AS cid1, c2.cid AS cid2, count(*) AS nij
+        |FROM c1 JOIN c2 ON c1.member = c2.member
+        |GROUP BY 1, 2""".stripMargin,
+
+      "m_rand_index" -> """
+        |WITH c1 AS (SELECT c_nationkey::BIGINT AS cid, c_custkey AS member FROM customer),
+        |c2 AS (SELECT c_mktsegment AS cid, c_custkey AS member FROM customer),
+        |n AS (SELECT count(*)::DOUBLE AS n FROM customer),
+        |cont AS (SELECT c1.cid AS a, c2.cid AS b, count(*)::DOUBLE AS nij
+        |  FROM c1 JOIN c2 ON c1.member = c2.member GROUP BY 1, 2),
+        |sb AS (SELECT coalesce(sum(nij*(nij-1)/2), 0) AS v FROM cont),
+        |s1 AS (SELECT coalesce(sum(sz*(sz-1)/2), 0) AS v FROM
+        |  (SELECT count(*)::DOUBLE AS sz FROM c1 GROUP BY cid)),
+        |s2 AS (SELECT coalesce(sum(sz*(sz-1)/2), 0) AS v FROM
+        |  (SELECT count(*)::DOUBLE AS sz FROM c2 GROUP BY cid))
+        |SELECT round(
+        |  ((SELECT v FROM sb) +
+        |   ((SELECT n FROM n)*((SELECT n FROM n)-1)/2 - (SELECT v FROM s1)
+        |     - (SELECT v FROM s2) + (SELECT v FROM sb)))
+        |  / ((SELECT n FROM n)*((SELECT n FROM n)-1)/2), 6) AS ri""".stripMargin
+    )
+  }
 }
