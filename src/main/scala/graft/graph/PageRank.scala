@@ -45,11 +45,16 @@ object PageRank {
       tol: Double = 1e-9,
       maxIters: Int = 50,
       checkpointTable: String = null,
-      saltThreshold: Int = 0): Result = {
+      saltThreshold: Int = 0,
+      kahan: Boolean = true): Result = {
 
     val ckpt = Option(checkpointTable).filter(_.nonEmpty)
 
+    // hash-partition edges by src ONCE and cache: InMemoryRelation preserves
+    // outputPartitioning, so every superstep's `edges ⋈ ranks on src` skips
+    // the edge-side exchange (the dominant shuffle at web scale).
     val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val vertices = e.select(col("src").as("vid"))
       .union(e.select(col("dst").as("vid"))).distinct()
@@ -58,6 +63,9 @@ object PageRank {
     val outDeg = e.groupBy(col("src").as("vid"))
       .agg(count(lit(1)).as("outDeg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // dangling vertices exist iff some vertex has no out-edges; detect once
+    // so dangler-free graphs skip one aggregation job per superstep
+    val hasDanglers = outDeg.count() < n
 
     // (vid, rank, outDeg) — outDeg 0 marks dangling vertices
     def withDeg(ranks: DataFrame): DataFrame =
@@ -79,15 +87,21 @@ object PageRank {
       val t0 = System.nanoTime()
       val r = withDeg(ranks)
 
-      val danglingMass = r.where(col("outDeg") === 0)
-        .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
+      val danglingMass =
+        if (!hasDanglers) 0.0
+        else r.where(col("outDeg") === 0)
+          .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
 
       val contribs = e
         .join(r.where(col("outDeg") > 0).withColumnRenamed("vid", "src"), "src")
         .select(col("dst").as("vid"), (col("rank") / col("outDeg")).as("c"))
 
-      val summed = contribs.groupBy("vid")
-        .agg(KahanSum.column(col("c")).as("inMass"))
+      // Kahan keeps the compensated error O(eps) under shuffle reordering
+      // (the 1e-6 reproducibility path); plain codegen'd sum is the
+      // throughput path — error is O(maxInDeg·eps), still « 1e-6
+      val summed =
+        if (kahan) contribs.groupBy("vid").agg(KahanSum.column(col("c")).as("inMass"))
+        else contribs.groupBy("vid").agg(sum(col("c")).as("inMass"))
 
       val newRanks = vertices
         .join(summed, Seq("vid"), "left")
@@ -99,8 +113,12 @@ object PageRank {
         // (and planning time) grows without bound across iterations
         .localCheckpoint(true)
 
-      delta = newRanks.join(ranks.withColumnRenamed("rank", "prev"), "vid")
-        .agg(max(abs(col("rank") - col("prev")))).head().getDouble(0)
+      // convergence check costs one extra join+agg per superstep; skip it
+      // entirely for fixed-iteration runs (tol < 0)
+      if (tol >= 0) {
+        delta = newRanks.join(ranks.withColumnRenamed("rank", "prev"), "vid")
+          .agg(max(abs(col("rank") - col("prev")))).head().getDouble(0)
+      }
 
       val secs = (System.nanoTime() - t0) / 1e9
       ckpt.foreach { t =>
