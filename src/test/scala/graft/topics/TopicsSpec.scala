@@ -1,0 +1,70 @@
+package graft.topics
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** LDA/GSDMM: seeded-RNG determinism under repartitioning (SURVEY.md §7
+  * hard part c), planted-topic recovery, valid distributions.
+  */
+class TopicsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 40 docs, vocab 12: two planted topics (words 0-5 vs 6-11)
+  val bowRows: Seq[(Long, Int, Int)] = (0L until 40L).flatMap { d =>
+    val base = if (d % 2 == 0) 0 else 6
+    (0 until 4).map { j =>
+      val w = base + ((graft.ingest.Pages.mix(d * 17 + j) & 0x7fffffff) % 6).toInt
+      (d, w, 1 + (j % 2))
+    }.groupBy(_._2).map { case (w, xs) => (d, w, xs.map(_._3).sum) }.toSeq
+  }
+  def bow(parts: Int) = bowRows.toDF("doc", "word", "cnt").repartition(parts)
+
+  test("LDA is deterministic across partitionings") {
+    val m1 = new LDA(2, seed = 7L).train(spark, bow(2), 12, numIters = 3)
+    val m2 = new LDA(2, seed = 7L).train(spark, bow(9), 12, numIters = 3)
+    val a1 = m1.assignments.as[(Long, Int, Int, Int)].collect().toSet
+    val a2 = m2.assignments.as[(Long, Int, Int, Int)].collect().toSet
+    assert(a1 == a2)
+    assert(m1.wordTopic == m2.wordTopic)
+  }
+
+  test("LDA separates the two planted topics") {
+    val m = new LDA(2, seed = 42L).train(spark, bow(4), 12, numIters = 15)
+    val memb = m.infer(spark, bow(4)).as[(Long, Seq[Double])].collect().toMap
+    // every membership is a distribution
+    memb.values.foreach { p =>
+      assert(math.abs(p.sum - 1.0) < 1e-9 && p.forall(_ >= 0.0))
+    }
+    // docs of the same parity should mostly share their argmax topic
+    val argmax = memb.map { case (d, p) => d -> p.indexOf(p.max) }
+    val even = argmax.filter(_._1 % 2 == 0).values.groupBy(identity)
+      .values.map(_.size).max
+    val odd = argmax.filter(_._1 % 2 == 1).values.groupBy(identity)
+      .values.map(_.size).max
+    assert(even >= 16 && odd >= 16, s"even=$even odd=$odd of 20")
+    // and entropy is below the uniform maximum
+    assert(m.relativeEntropy(spark) < 0.9)
+  }
+
+  test("GSDMM is deterministic across partitionings") {
+    val m1 = new GSDMM(2, seed = 7L).train(spark, bow(2), 12, numIters = 3)
+    val m2 = new GSDMM(2, seed = 7L).train(spark, bow(9), 12, numIters = 3)
+    assert(m1.assignments.as[(Long, Int)].collect().toMap
+      == m2.assignments.as[(Long, Int)].collect().toMap)
+  }
+
+  test("GSDMM clusters the planted topics (one topic per doc)") {
+    val m = new GSDMM(2, alpha = 0.1, beta = 0.02, seed = 42L)
+      .train(spark, bow(4), 12, numIters = 12)
+    val topics = m.assignments.as[(Long, Int)].collect().toMap
+    val even = topics.filter(_._1 % 2 == 0).values.groupBy(identity)
+      .values.map(_.size).max
+    val odd = topics.filter(_._1 % 2 == 1).values.groupBy(identity)
+      .values.map(_.size).max
+    assert(even >= 16 && odd >= 16, s"even=$even odd=$odd of 20")
+    // infer on a pure topic-0 bag leans to the even-doc topic
+    val p = m.infer(Seq((0, 2), (1, 2), (2, 1)))
+    assert(math.abs(p.sum - 1.0) < 1e-9)
+  }
+}
