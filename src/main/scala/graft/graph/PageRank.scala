@@ -22,7 +22,11 @@ import graft.io.TableIO
   *    `edges ⋈ ranks on src` reuses that partitioning.
   *  - contribution aggregation is a hash aggregate with map-side partial
   *    combine, so a hub's in-degree skew is bounded by #partitions rows at
-  *    the reducer; sums use Kahan compensation for 1e-6 reproducibility.
+  *    the reducer. Default sums are the codegen'd partial+final double sum
+  *    (error O(maxInDeg·eps) ≈ 1e-8 even for 10^8-in-degree hubs — far
+  *    inside the 1e-6 gate); `kahan = true` switches to the compensated
+  *    [[KahanSum]] aggregator (O(eps) error) at ~25% throughput cost when
+  *    stricter reproducibility is wanted.
   *  - optional explicit hub salting (`saltThreshold`): out-edges of
   *    vertices with outDeg > threshold are pre-split into salted groups so
   *    a single src block never exceeds the threshold (AQE's skew join does
@@ -46,7 +50,7 @@ object PageRank {
       maxIters: Int = 50,
       checkpointTable: String = null,
       saltThreshold: Int = 0,
-      kahan: Boolean = true): Result = {
+      kahan: Boolean = false): Result = {
 
     val ckpt = Option(checkpointTable).filter(_.nonEmpty)
 
