@@ -13,7 +13,8 @@ object ScalingProbe {
 
   def measure(cores: Int, nPages: Long, iters: Int): (Long, Double) = {
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
-    val spark = GraftSession.local(cores, shufflePartitions = 32)
+    val sp = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32").toInt
+    val spark = GraftSession.local(cores, shufflePartitions = sp)
     spark.sparkContext.setLogLevel("ERROR")
     val pages = Pages.synthesize(spark, nPages, seed = 42L,
       partitions = spark.sparkContext.defaultParallelism)

@@ -4,10 +4,12 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.corpus.{Clustering, Corpus, Similarity, Word2Phrase}
 import graft.graph.{ConnectedComponents, LabelPropagation, PageRank, Triangles}
 import graft.ingest.{Graphs, Pages}
 import graft.metrics.Metrics
 import graft.pipeline.{Ann, Dedup, Multimodal}
+import graft.ref.CitationOps
 import graft.text.{TextAnalysis, Tidy}
 
 /** Driver contract — one `queries` entry per implemented operator family
@@ -40,6 +42,21 @@ object SparkEntry {
         ((col("l_orderkey") % 1500) * 8 + col("l_partkey") % 8).as("src"),
         ((col("l_orderkey") % 1500) * 8 + col("l_suppkey") % 8).as("dst"))
       .where(col("src") =!= col("dst")).distinct()
+
+  /** Citation-shaped derivation from testdata: orders are papers
+    * (year = order year, 1995-2001), lineitem rows are citations
+    * `l_orderkey cites (l_partkey % 15000)`. */
+  private def citationFromTestdata(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val nodes = s.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey").as("id"), lit(true).as("isMain"),
+        year(col("o_orderdate")).cast("long").as("year"),
+        col("o_orderpriority").as("title"))
+    val edges = li(s, dir)
+      .select(col("l_orderkey").as("id"), (col("l_partkey") % 15000).as("refId"))
+      .where(col("id") =!= col("refId")).distinct()
+    (nodes, edges)
+  }
 
   private def edgesTri(s: SparkSession, dir: String): DataFrame =
     li(s, dir).select(
@@ -77,6 +94,23 @@ object SparkEntry {
     "g_degree_hist" -> ((s, dir) =>
       Graphs.degreeHistogram(edgesPR(s, dir))
         .select(col("log2deg"), col("vertices"), col("edges"))),
+    // explicit hub-salting path: one salted superstep == one plain superstep
+    "g_pagerank_salted" -> ((s, dir) => {
+      val e = edgesPR(s, dir).cache()
+      val vertices = e.select(col("src").as("vid"))
+        .union(e.select(col("dst").as("vid"))).distinct().cache()
+      val n = vertices.count().toDouble
+      val outDeg = e.groupBy(col("src").as("vid")).agg(count(lit(1)).as("outDeg"))
+      val r0 = vertices.withColumn("rank", lit(1.0 / n))
+        .join(outDeg, Seq("vid"), "left").na.fill(0L, Seq("outDeg"))
+      val dangling = r0.where(col("outDeg") === 0)
+        .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0)
+      val inMass = PageRank.saltedContribs(e, r0, numSalts = 4)
+      vertices.join(inMass, Seq("vid"), "left").na.fill(0.0, Seq("inMass"))
+        .select(col("vid"), round(
+          lit(0.15 / n) + lit(0.85) * (col("inMass") + lit(dangling / n)), 6)
+          .as("rank"))
+    }),
 
     // ---- reference relational surface (SURVEY §2.2-2.8) --------------------
     // P2 — range filter + projection (predicate pushdown path)
@@ -240,6 +274,59 @@ object SparkEntry {
         .select(col("media_id"), col("mime"), col("n_bytes"))
     }),
 
+    // ---- corpus (A1/A9/P6/W1 + §2.9 kernels) --------------------------------
+    // deterministic first-seen vocab encoding (SURVEY §7 hard part b)
+    "c_vocab" -> ((s, dir) => {
+      val toks = Corpus.tokens(docs(s, dir), "doc_id", "text")
+      Corpus.vocab(toks).select(col("term"), col("word").cast("long").as("word"))
+    }),
+    // TF-IDF with the doc-mean weight filter (P6/W6)
+    "c_tfidf" -> ((s, dir) => {
+      val (bow, _) = Corpus.build(docs(s, dir).select(col("doc_id").as("doc"), col("text")))
+      Corpus.tfidf(bow, docs(s, dir).count(), minRatio = 0.5)
+        .select(col("doc"), col("word").cast("long").as("word"),
+          round(col("weight"), 6).as("weight"))
+    }),
+    // word2phrase greedy merge (rows-only: iterative re-tokenization)
+    "c_word2phrase" -> ((s, dir) =>
+      Word2Phrase.run(s, docs(s, dir).select(col("doc_id").as("doc"), col("text")),
+          numIters = 1, minFreq = 30, minScore = 0.0)
+        .select(col("doc"), array_join(col("toks"), " ").as("text"))),
+    // jaccard similarity kernel (simType 2) + neighbor sim-ranks (W1)
+    "c_simranks" -> ((s, dir) => {
+      val (bow, _) = Corpus.build(docs(s, dir).select(col("doc_id").as("doc"), col("text")))
+      val cooc = Corpus.concurrences(bow).where(col("cooc") >= 200)
+      Similarity.simRanks(Similarity.induce(cooc, 2))
+        .select(col("p").cast("long").as("p"), col("nbr").cast("long").as("nbr"),
+          round(col("sim"), 6).as("sim"), col("rank").cast("long").as("rank"))
+    }),
+    // DBSCAN = CC over the thresholded doc-similarity graph (§2.9)
+    "c_dbscan" -> ((s, dir) => {
+      val t = docs(s, dir)
+        .select(col("doc_id"), explode(array_distinct(tokensOf(col("text")))).as("tok"))
+      val pairs = t.as("a").join(t.as("b"),
+          col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("w1"), col("b.doc_id").as("w2"))
+        .agg(count(lit(1)).as("common"))
+        .where(col("common") >= 20)
+        .withColumn("sim", lit(1.0))
+      Clustering.dbscan(s, pairs, eps = 0.5, minPts = 2)
+        .select(col("member"), col("cluster"))
+    }),
+
+    // ---- citation ops (A12 + W4, rows-only: loop-scan semantics) -----------
+    "r_hot_publications" -> ((s, dir) => {
+      val (nodes, edges) = citationFromTestdata(s, dir)
+      CitationOps.hotPublications(nodes, edges,
+        yearToday = 2001, yearRecent = 1998, yearFarAway = 1995, highThreshold = 2)
+        .select(col("id"), col("year"))
+    }),
+    "r_cite_histories" -> ((s, dir) => {
+      val (nodes, edges) = citationFromTestdata(s, dir)
+      CitationOps.citeHistories(nodes, edges, 1995, 2001)
+        .select(col("id"), col("citeYear"), col("cites"))
+    }),
+
     // ---- clustering metrics (J5 + A19) -------------------------------------
     "m_contingency" -> ((s, dir) => {
       val c = s.read.parquet(s"$dir/customer.parquet")
@@ -249,6 +336,15 @@ object SparkEntry {
         (col("c_acctbal") > 0).cast("long").as("cid"), col("c_custkey").as("member"))
       Metrics.contingency(c1, c2)
         .select(col("cid1"), col("cid2"), col("nij"))
+    }),
+    "m_nmi" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val c1 = c.select(col("c_nationkey").cast("long").as("cid"),
+        col("c_custkey").as("member"))
+      val c2 = c.select(col("c_mktsegment").as("cid"), col("c_custkey").as("member"))
+      val sess = s
+      import sess.implicits._
+      Seq(Metrics.nmi(c1, c2)).toDF("nmi").select(round(col("nmi"), 6).as("nmi"))
     }),
     "m_rand_index" -> ((s, dir) => {
       val c = s.read.parquet(s"$dir/customer.parquet")
@@ -281,6 +377,25 @@ object SparkEntry {
         .stripMargin
     val dtoks =
       s"""SELECT DISTINCT doc_id, tok FROM ($toks)"""
+    // lowered positional tokens + first-seen vocab (Corpus.tokens/vocab)
+    val lseq =
+      """SELECT doc_id, s.tok AS term, s.i AS pos FROM
+        |  (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |     x -> len(x) > 0) AS ts FROM documents),
+        |  unnest(list_transform(ts, (x, i) -> struct_pack(tok := x, i := i))) AS u(s)"""
+        .stripMargin
+    val vocabSql =
+      s"""WITH seq AS ($lseq),
+         |f1 AS (SELECT term, min(doc_id) AS fd FROM seq GROUP BY term),
+         |f2 AS (SELECT seq.term, f1.fd, min(seq.pos) AS fp FROM seq
+         |  JOIN f1 ON seq.term = f1.term AND seq.doc_id = f1.fd GROUP BY 1, 2)
+         |SELECT term, (row_number() OVER (ORDER BY fd, fp, term) - 1)::BIGINT AS word
+         |FROM f2""".stripMargin
+    // bag-of-words on vocab ids
+    val bowSql =
+      s"""WITH seq AS ($lseq), v AS ($vocabSql)
+         |SELECT seq.doc_id AS doc, v.word, count(*) AS cnt
+         |FROM seq JOIN v ON seq.term = v.term GROUP BY 1, 2""".stripMargin
 
     Map(
       "g_pagerank" -> s"""
@@ -315,6 +430,20 @@ object SparkEntry {
         |r5 AS (SELECT v.vid, 0.15/(SELECT n FROM n) + 0.85*(coalesce(s5.m,0.0)+(SELECT dm FROM d5)/(SELECT n FROM n)) AS rank
         |       FROM v LEFT JOIN s5 ON v.vid=s5.vid)
         |SELECT vid, round(rank, 6) AS rank FROM r5""".stripMargin,
+
+      "g_pagerank_salted" -> s"""
+        |WITH e AS ($edgesPRSql),
+        |v AS (SELECT src AS vid FROM e UNION SELECT dst FROM e),
+        |n AS (SELECT count(*)::DOUBLE AS n FROM v),
+        |deg AS (SELECT src, count(*)::DOUBLE AS outdeg FROM e GROUP BY src),
+        |r0 AS (SELECT vid, 1.0/(SELECT n FROM n) AS rank FROM v),
+        |s1 AS (SELECT e.dst AS vid, sum(r0.rank/deg.outdeg) AS m FROM e
+        |       JOIN r0 ON e.src=r0.vid JOIN deg ON e.src=deg.src GROUP BY e.dst),
+        |d1 AS (SELECT coalesce(sum(r0.rank),0.0) AS dm FROM r0
+        |       LEFT JOIN deg ON r0.vid=deg.src WHERE deg.src IS NULL)
+        |SELECT v.vid, round(0.15/(SELECT n FROM n)
+        |  + 0.85*(coalesce(s1.m,0.0)+(SELECT dm FROM d1)/(SELECT n FROM n)), 6) AS rank
+        |FROM v LEFT JOIN s1 ON v.vid=s1.vid""".stripMargin,
 
       "g_components" -> s"""
         |WITH RECURSIVE e AS ($edgesCCSql),
@@ -516,6 +645,71 @@ object SparkEntry {
         |  SELECT qid, cid, sim, row_number() OVER
         |    (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rk FROM pairs)
         |WHERE rk = 1""".stripMargin,
+
+      "c_vocab" -> vocabSql,
+
+      "c_tfidf" -> s"""
+        |WITH bow AS ($bowSql),
+        |n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+        |df AS (SELECT word, count(DISTINCT doc) AS df FROM bow GROUP BY word),
+        |w AS (SELECT bow.doc, bow.word,
+        |        bow.cnt * ln((SELECT n FROM n) / df.df) AS weight
+        |      FROM bow JOIN df ON bow.word = df.word),
+        |m AS (SELECT doc, word, weight, avg(weight) OVER (PARTITION BY doc) AS dm FROM w)
+        |SELECT doc, word, round(weight, 6) AS weight FROM m
+        |WHERE weight >= 0.5 * dm""".stripMargin,
+
+      "c_simranks" -> s"""
+        |WITH bow AS ($bowSql),
+        |cooc AS (SELECT a.word AS w1, b.word AS w2, sum(a.cnt * b.cnt) AS cooc
+        |  FROM bow a JOIN bow b ON a.doc = b.doc AND a.word < b.word
+        |  GROUP BY 1, 2 HAVING sum(a.cnt * b.cnt) >= 200),
+        |rs AS (SELECT w, sum(cooc) AS s FROM (
+        |    SELECT w1 AS w, cooc FROM cooc UNION ALL SELECT w2, cooc FROM cooc)
+        |  GROUP BY w),
+        |sims AS (SELECT w1, w2, cooc / (r1.s + r2.s - cooc) AS sim
+        |  FROM cooc JOIN rs r1 ON w1 = r1.w JOIN rs r2 ON w2 = r2.w),
+        |sym AS (SELECT w1 AS p, w2 AS nbr, sim FROM sims
+        |        UNION ALL SELECT w2, w1, sim FROM sims)
+        |SELECT p, nbr, round(sim, 6) AS sim,
+        |  (row_number() OVER (PARTITION BY p ORDER BY sim DESC, nbr ASC) - 1)::BIGINT AS rank
+        |FROM sym""".stripMargin,
+
+      "c_dbscan" -> s"""
+        |WITH RECURSIVE t AS ($dtoks),
+        |e AS (SELECT a.doc_id AS u, b.doc_id AS v
+        |  FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 20),
+        |sym AS (SELECT u AS a, v AS b FROM e UNION SELECT v, u FROM e),
+        |verts AS (SELECT a AS vid FROM sym UNION SELECT b FROM sym),
+        |reach(vid, c) AS (
+        |  SELECT vid, vid FROM verts
+        |  UNION
+        |  SELECT sym.b, reach.c FROM reach JOIN sym ON reach.vid = sym.a)
+        |SELECT vid AS member, min(c) AS cluster FROM reach GROUP BY vid""".stripMargin,
+
+      "r_cite_histories" -> """
+        |WITH e AS (SELECT DISTINCT l_orderkey AS citer, l_partkey % 15000 AS cited
+        |  FROM lineitem WHERE l_orderkey <> l_partkey % 15000),
+        |n AS (SELECT o_orderkey AS id, year(o_orderdate) AS yr FROM orders)
+        |SELECT e.cited AS id, n2.yr::BIGINT AS citeYear, count(*) AS cites
+        |FROM e JOIN n n1 ON e.cited = n1.id JOIN n n2 ON e.citer = n2.id
+        |WHERE n1.yr BETWEEN 1995 AND 2001 AND n2.yr BETWEEN 1995 AND 2001
+        |GROUP BY 1, 2""".stripMargin,
+
+      "m_nmi" -> """
+        |WITH c1 AS (SELECT c_nationkey::BIGINT AS cid, c_custkey AS member FROM customer),
+        |c2 AS (SELECT c_mktsegment AS cid, c_custkey AS member FROM customer),
+        |n AS (SELECT count(*)::DOUBLE AS n FROM customer),
+        |cont AS (SELECT c1.cid AS a, c2.cid AS b, count(*)::DOUBLE AS nij
+        |  FROM c1 JOIN c2 ON c1.member = c2.member GROUP BY 1, 2),
+        |hx AS (SELECT -sum((sz/(SELECT n FROM n))*ln(sz/(SELECT n FROM n))) AS v
+        |  FROM (SELECT count(*)::DOUBLE AS sz FROM c1 GROUP BY cid)),
+        |hy AS (SELECT -sum((sz/(SELECT n FROM n))*ln(sz/(SELECT n FROM n))) AS v
+        |  FROM (SELECT count(*)::DOUBLE AS sz FROM c2 GROUP BY cid)),
+        |hxy AS (SELECT -sum((nij/(SELECT n FROM n))*ln(nij/(SELECT n FROM n))) AS v FROM cont)
+        |SELECT round(2.0 * ((SELECT v FROM hx) + (SELECT v FROM hy) - (SELECT v FROM hxy))
+        |  / ((SELECT v FROM hx) + (SELECT v FROM hy)), 6) AS nmi""".stripMargin,
 
       "m_contingency" -> """
         |WITH c1 AS (SELECT c_nationkey::BIGINT AS cid, c_custkey AS member FROM customer),
