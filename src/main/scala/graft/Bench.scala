@@ -28,7 +28,9 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val scaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") == "1"
-    val prPages = sys.env.getOrElse("SPARK_GRAFT_PR_PAGES", "1000000").toLong
+    // 4M pages (~18M edges): big enough that per-superstep fixed costs
+    // amortize, small enough for a default 8g driver heap
+    val prPages = sys.env.getOrElse("SPARK_GRAFT_PR_PAGES", "4000000").toLong
     val prIters = 5
 
     val spark = session(cpus)

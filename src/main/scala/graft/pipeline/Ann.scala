@@ -12,7 +12,9 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** Cosine over array columns via higher-order functions (codegen'd). */
+  /** Cosine over array columns via higher-order functions (declarative
+    * form; fine off the hot path). The hot path pre-normalizes instead —
+    * see [[bruteForceTopK]]. */
   def cosine(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
@@ -20,15 +22,34 @@ object Ann {
     dot(a, b) / sqrt(dot(a, a) * dot(b, b))
   }
 
+  /** Tight-loop dot product over double arrays (the HOF `aggregate` walks a
+    * boxed lambda per element; this is a single while-loop per pair). */
+  private val dotUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
+    var s = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Normalize a float-vec column to a unit double array ONCE, so cosine
+    * of any pair downstream is a single dot product (the reference-style
+    * per-pair norm recomputation is O(3d) per pair and was the dominant
+    * cost of the brute-force scorer). */
+  def normalize(vec: Column): Column = {
+    val d = aggregate(vec, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double"))
+    transform(vec, x => x.cast("double") / sqrt(d))
+  }
+
   /** Exact top-k neighbors per query vector against the corpus; both inputs
-    * `(id, vec)`. O(|q|·|c|) — the correctness baseline and the right
-    * answer when one side is broadcastable. */
+    * `(id, vec)`. O(|q|·|c|) dots on pre-normalized vectors — the
+    * correctness baseline and the right answer when one side broadcasts. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("id").as("qid"), col("vec").as("qv"))
-    val c = corpus.select(col("id").as("cid"), col("vec").as("cv"))
+    val q = queries.select(col("id").as("qid"), normalize(col("vec")).as("qv"))
+    val c = corpus.select(col("id").as("cid"), normalize(col("vec")).as("cv"))
     val scored = q.crossJoin(broadcast(c))
       .where(col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"), cosine(col("qv"), col("cv")).as("sim"))
+      .select(col("qid"), col("cid"), dotUdf(col("qv"), col("cv")).as("sim"))
     val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
