@@ -92,6 +92,45 @@ object Corpus {
       .agg(countDistinct(col("doc")).as("docs"))
   }
 
+  /** CorpusX (grouped corpus, reference :91-94): one word-group per
+    * keyphrase candidate — `(doc, grp, word, cnt)`. */
+  def buildX(docs: DataFrame): (DataFrame, DataFrame) = {
+    val candidates = docs.select(col("doc"),
+        posexplode(Keyphrase.extract_candidates(col("text"))).as(Seq("grp", "phrase")))
+    val toks = candidates.select(col("doc"), col("grp"),
+        posexplode(split(col("phrase"), " ")).as(Seq("pos", "term")))
+      .withColumn("pos", col("grp") * 1000 + col("pos")) // global order within doc
+    val v = vocab(toks)
+    val bowX = toks.join(v, "term")
+      .groupBy("doc", "grp", "word").agg(count(lit(1)).cast("int").as("cnt"))
+    (bowX, v)
+  }
+
+  /** A3 — CorpusX.GetConcurrences (CitationGraphs.go:740-830): same-doc
+    * pairs restricted to DIFFERENT word groups. */
+  def concurrencesX(bowX: DataFrame): DataFrame = {
+    val a = bowX.select(col("doc"), col("grp").as("g1"), col("word").as("w1"),
+      col("cnt").as("c1"))
+    val b = bowX.select(col("doc"), col("grp").as("g2"), col("word").as("w2"),
+      col("cnt").as("c2"))
+    a.join(b, "doc")
+      .where(col("w1") < col("w2") && col("g1") =!= col("g2"))
+      .groupBy("w1", "w2")
+      .agg(sum(col("c1") * col("c2")).as("cooc"))
+  }
+
+  /** A4 — CorpusX.GetDocConcurrences (:835-928): # distinct docs where the
+    * two words co-occur across different groups (visited-set dedup ->
+    * countDistinct). */
+  def docConcurrencesX(bowX: DataFrame): DataFrame = {
+    val a = bowX.select(col("doc"), col("grp").as("g1"), col("word").as("w1"))
+    val b = bowX.select(col("doc"), col("grp").as("g2"), col("word").as("w2"))
+    a.join(b, "doc")
+      .where(col("w1") < col("w2") && col("g1") =!= col("g2"))
+      .groupBy("w1", "w2")
+      .agg(countDistinct(col("doc")).as("docs"))
+  }
+
   /** A8 — document lengths. */
   def docLengths(bow: DataFrame): DataFrame =
     bow.groupBy("doc").agg(sum("cnt").as("len"))
