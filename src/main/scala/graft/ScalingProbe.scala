@@ -11,7 +11,11 @@ import graft.ingest.{Graphs, Pages}
   */
 object ScalingProbe {
 
-  def measure(cores: Int, nPages: Long, iters: Int): (Long, Double) = {
+  /** One session at `cores`: build+cache the graph, warm up 2 supersteps,
+    * then time `iters` supersteps `reps` times and keep the fastest run
+    * (VM-neighbor noise makes single timed runs unreliable; best-of-reps
+    * within a warmed session is the standard defense). */
+  def measure(cores: Int, nPages: Long, iters: Int, reps: Int = 2): (Long, Double) = {
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
     val sp = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32").toInt
     val spark = GraftSession.local(cores, shufflePartitions = sp)
@@ -24,9 +28,11 @@ object ScalingProbe {
     val kahan = sys.env.getOrElse("SPARK_GRAFT_KAHAN", "1") == "1"
     // warm-up: 2 supersteps (JIT, codegen, cache priming)
     PageRank.run(spark, e, maxIters = 2, tol = -1.0, kahan = kahan).ranks.count()
-    val t0 = System.nanoTime()
-    PageRank.run(spark, e, maxIters = iters, tol = -1.0, kahan = kahan).ranks.count()
-    val secs = (System.nanoTime() - t0) / 1e9
+    val secs = (0 until math.max(1, reps)).map { _ =>
+      val t0 = System.nanoTime()
+      PageRank.run(spark, e, maxIters = iters, tol = -1.0, kahan = kahan).ranks.count()
+      (System.nanoTime() - t0) / 1e9
+    }.min
     spark.stop()
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
     (m, secs)
