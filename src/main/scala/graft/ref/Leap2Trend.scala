@@ -61,10 +61,47 @@ object Leap2Trend {
   }
 
   /** Full pipeline over a `(year, phrase, vec)` embedding table (vectors
-    * may come from MLlib Word2Vec — skip-gram, a documented deviation from
-    * the reference's CBOW+NS wego trainer — or any other source). */
+    * may come from [[trainEmbeddings]] or any other source). */
   def run(vectors: DataFrame, minJump: Int): DataFrame =
     rankJumps(simRanksByYear(vectors), minJump)
+
+  /** Per-year embedding training via MLlib Word2Vec over the CUMULATIVE
+    * corpus (S4 semantics: year Y trains on all docs with year <= Y).
+    *
+    * DOCUMENTED DEVIATION (SURVEY.md §7 hard part g): the reference trains
+    * CBOW + negative sampling (wego, CitationGraphs.go:4110-4134); MLlib
+    * implements skip-gram + hierarchical softmax. Same window/dim/seed
+    * knobs, different objective — acceptable because Leap2Trend consumes
+    * only RELATIVE neighbor ranks per year, not absolute vector values.
+    * Returns `(year, phrase, vec ARRAY<DOUBLE>)`. */
+  def trainEmbeddings(docs: DataFrame, yearStartFrom: Int,
+      dim: Int = 100, window: Int = 5, minCount: Int = 5,
+      maxIter: Int = 1, seed: Long = 42L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val years = docs.agg(min("year"), max("year")).as[(Long, Long)].head()
+    val yMin = math.max(years._1.toInt, yearStartFrom)
+    val yMax = years._2.toInt
+    (yMin to yMax).map { y =>
+      // upstream Word2Phrase already joins multi-word phrases with "_"
+      // (S4 writer semantics); tokens are whitespace-separated
+      val corpus = docs
+        .where(col("lang") === "en" && col("year") <= y)
+        .select(split(col("text"), "\\s+").as("toks"))
+      val model = new org.apache.spark.ml.feature.Word2Vec()
+        .setInputCol("toks").setOutputCol("vec")
+        .setVectorSize(dim).setWindowSize(window)
+        .setMinCount(minCount).setMaxIter(maxIter).setSeed(seed)
+        .fit(corpus)
+      model.getVectors
+        .select(lit(y.toLong).as("year"), col("word").as("phrase"),
+          vecToArray(col("vector")).as("vec"))
+    }.reduce(_ union _)
+  }
+
+  private val vecToArray = udf { (v: org.apache.spark.ml.linalg.Vector) =>
+    v.toArray.toSeq
+  }
 }
 
 /** S3 — memberships JSON sink/source (CitationGraphs.go:3612-3658). */

@@ -86,6 +86,20 @@ class Leap2TrendSpec extends SparkSpec {
     assert(linesOf(2002) == Set("alpha_beta", "gamma_delta", "epsilon_zeta"))
   }
 
+  test("MLlib embedding training yields per-year unit-testable vectors") {
+    val docs = (0 until 30).map { i =>
+      val topic = if (i % 2 == 0) "alpha beta gamma alpha beta" else "delta epsilon zeta delta"
+      (2000L + i % 2, "en", topic)
+    }.toDF("year", "lang", "text")
+    val vecs = Leap2Trend.trainEmbeddings(docs, 2000, dim = 8, minCount = 1)
+    val byYear = vecs.groupBy("year").count()
+      .as[(Long, Long)].collect().toMap
+    assert(byYear.keySet == Set(2000L, 2001L))
+    assert(byYear(2001L) >= byYear(2000L)) // cumulative corpus grows vocab
+    val dims = vecs.select(size($"vec")).distinct().as[Int].collect().toSeq
+    assert(dims == Seq(8))
+  }
+
   test("memberships JSON round trip + J4 check") {
     val m = Seq((1L, Seq(0.2, 0.8)), (2L, Seq(0.6, 0.4))).toDF("nodeId", "membership")
     val dir = tmpDir("memb")
