@@ -18,7 +18,15 @@ object ScalingProbe {
   def measure(cores: Int, nPages: Long, iters: Int, reps: Int = 2): (Long, Double) = {
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
     val sp = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32").toInt
-    val spark = GraftSession.local(cores, shufflePartitions = sp)
+    // SPARK_GRAFT_CLUSTER=1: `cores` = executor count, each executor its
+    // own JVM with fixed cores/heap (the faithful N-vs-4N proxy)
+    val spark =
+      if (sys.env.getOrElse("SPARK_GRAFT_CLUSTER", "0") == "1")
+        GraftSession.localCluster(workers = cores,
+          coresPerWorker = sys.env.getOrElse("SPARK_GRAFT_WCORES", "4").toInt,
+          memMB = sys.env.getOrElse("SPARK_GRAFT_WMEM", "6144").toInt,
+          shufflePartitions = sp)
+      else GraftSession.local(cores, shufflePartitions = sp)
     spark.sparkContext.setLogLevel("ERROR")
     val pages = Pages.synthesize(spark, nPages, seed = 42L,
       partitions = spark.sparkContext.defaultParallelism)
