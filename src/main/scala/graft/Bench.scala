@@ -34,14 +34,33 @@ object Bench {
     val prIters = 5
 
     val spark = session(cpus)
+    // honesty: a failed query must surface as an error marker, never as a
+    // fast-looking timing
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
-        catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val err =
+          try { fn(spark, sfDir).count(); None }
+          catch { case e: Throwable =>
+            Some((e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage))
+              .replace('"', '\'').replaceAll("[\\n\\r\\\\]", " ").take(160)) }
+        (name, (System.nanoTime() - t0) / 1e9, err)
       }
     }
+
+    // variant visibility: kahan-vs-plain and salted-vs-plain on the same
+    // bench graph, so a regression in either path shows up round-over-round
+    def time(f: => Unit): Double =
+      { val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 }
+    val prEdges = SparkEntry.edgesPR(spark, sfDir).cache()
+    prEdges.count()
+    val tPlain = time(graft.graph.PageRank
+      .run(spark, prEdges, maxIters = 5, tol = -1.0, kahan = false).ranks.count())
+    val tKahan = time(graft.graph.PageRank
+      .run(spark, prEdges, maxIters = 5, tol = -1.0, kahan = true).ranks.count())
+    val tSalted = SparkEntry.queries.get("g_pagerank_salted")
+      .map(fn => time(fn(spark, sfDir).count())).getOrElse(-1.0)
+    prEdges.unpersist()
     spark.stop()
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
 
@@ -59,10 +78,14 @@ object Bench {
       f""","scaling":{"edges_per_sec_8":$eps8%.1f,"edges_per_sec_$cpus":$edgesPerSec%.1f,"cores_ratio":${cpus / 8},"efficiency":$efficiency%.4f}"""
     } else ""
 
-    val qs = (results :+ (s"pagerank_${prIters}steps" -> prSecs))
+    val qs = (results.map(r => (r._1, r._2)) :+ (s"pagerank_${prIters}steps" -> prSecs))
       .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val errs = results.collect { case (n, _, Some(m)) => s""""$n":"$m"""" }
+      .mkString("{", ",", "}")
+    val variants =
+      f""""variants":{"pagerank5_plain":$tPlain%.3f,"pagerank5_kahan":$tKahan%.3f,"salted_superstep":$tSalted%.3f}"""
     val total = results.map(_._2).sum + prSecs
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","pagerank":{"edges":$edgesN,"supersteps":$prIters,"secs":$prSecs%.3f,"edges_per_sec":$edgesPerSec%.1f,"supersteps_per_hour":$superstepsPerHour%.1f}$scalingJson}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,$variants,"sf":"$sfDir","pagerank":{"edges":$edgesN,"supersteps":$prIters,"secs":$prSecs%.3f,"edges_per_sec":$edgesPerSec%.1f,"supersteps_per_hour":$superstepsPerHour%.1f}$scalingJson}""")
   }
 }

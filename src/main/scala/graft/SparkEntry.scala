@@ -32,7 +32,7 @@ object SparkEntry {
     s.read.parquet(s"$dir/embeddings.parquet")
 
   /** Derived edge tables — deterministic functions of lineitem keys. */
-  private def edgesPR(s: SparkSession, dir: String): DataFrame =
+  private[graft] def edgesPR(s: SparkSession, dir: String): DataFrame =
     li(s, dir).select(
         (col("l_orderkey") % 1000).as("src"), (col("l_partkey") % 1000).as("dst"))
       .where(col("src") =!= col("dst")).distinct()

@@ -28,14 +28,28 @@ object Corpus {
     docs.select(col(docCol).as("doc"),
         posexplode(TextAnalysis.tokens(lower(col(textCol)))).as(Seq("pos", "term")))
 
-  /** Deterministic first-seen-order vocab: `(term, word)` with dense ids. */
+  /** Deterministic first-seen-order vocab: `(term, word)` with dense ids.
+    *
+    * Id assignment is the same range-partition + sortWithinPartitions +
+    * zipWithIndex prefix-sum mechanism as `Graphs.encodeVertices` — NOT a
+    * single-partition `row_number` window, which would funnel every distinct
+    * term through one task (a driver-adjacent bottleneck at billions of
+    * terms). Range partitioning preserves global `(firstDoc, firstPos,
+    * term)` order, so ids are invariant to the partition count. */
   def vocab(toks: DataFrame): DataFrame = {
+    val spark = toks.sparkSession
+    import spark.implicits._
+    val p = spark.sessionState.conf.numShufflePartitions
     val firstSeen = toks.groupBy("term")
       .agg(min(struct(col("doc"), col("pos"))).as("first"))
+      .select(col("first.doc").as("fd"), col("first.pos").as("fp"), col("term"))
     firstSeen
-      .withColumn("word",
-        (row_number().over(Window.orderBy(col("first"), col("term"))) - 1))
-      .select(col("term"), col("word"))
+      .repartitionByRange(p, col("fd"), col("fp"), col("term"))
+      .sortWithinPartitions("fd", "fp", "term")
+      .select("term").as[String]
+      .rdd.zipWithIndex()
+      .map { case (term, idx) => (term, idx.toInt) }
+      .toDF("term", "word")
   }
 
   /** Bag-of-words corpus + vocab from raw documents. */

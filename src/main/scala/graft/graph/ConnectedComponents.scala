@@ -95,6 +95,15 @@ object ConnectedComponents {
       .localCheckpoint(true)
     // invariant: pairs (u, v) with v < u ("child -> smaller neighbor")
 
+    // cheap convergence signature: (edge count, xor of edge hashes). Two
+    // full `except`s per round cost two extra distinct-shuffles; instead we
+    // compare signatures (one aggregation each) and only when they match run
+    // ONE confirming one-sided except (counts equal + A∖B empty ⇒ A = B).
+    def sigOf(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var prevSig = sigOf(e)
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
@@ -124,7 +133,9 @@ object ConnectedComponents {
         .distinct()
         .localCheckpoint(true) // truncate lineage per round
 
-      converged = newEdges.except(e).isEmpty && e.except(newEdges).isEmpty
+      val newSig = sigOf(newEdges)
+      converged = newSig == prevSig && newEdges.except(e).isEmpty
+      prevSig = newSig
       e.unpersist()
       e = newEdges
       iter += 1

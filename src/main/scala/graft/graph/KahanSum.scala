@@ -14,8 +14,12 @@ object KahanSum extends Aggregator[Double, (Double, Double), Double] {
 
   override def reduce(b: (Double, Double), x: Double): (Double, Double) = add(b, x)
 
+  // A state (sum, c) represents sum - c (c is the error to subtract from the
+  // next input), so folding in a partial state must negate its compensation:
+  // adding +c_b instead of -c_b would reintroduce ~2·c_b of uncompensated
+  // error per partition merge.
   override def merge(a: (Double, Double), b: (Double, Double)): (Double, Double) =
-    add(add(a, b._1), b._2)
+    add(add(a, b._1), -b._2)
 
   private def add(b: (Double, Double), x: Double): (Double, Double) = {
     val (sum, c) = b

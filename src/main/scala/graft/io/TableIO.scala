@@ -58,6 +58,11 @@ object TableIO {
       metrics: Map[String, Double] = Map.empty): SnapshotMeta = {
     val spark = df.sparkSession
     val parent = currentSnapshot(table).map(_.snapshotId)
+    // A writer that crashed between the manifest rename and the HEAD swap
+    // leaves an orphaned manifest-<parent+1>.json; the next commit reuses
+    // that id and overwrites both the data dir (mode overwrite) and the
+    // manifest (REPLACE_EXISTING below), so the table never becomes
+    // uncommittable and history stays gap-free.
     val id = parent.map(_ + 1).getOrElse(0L)
     val dir = dataDir(table, id)
     df.write.mode("overwrite").parquet(dir.toString)
@@ -77,7 +82,7 @@ object TableIO {
     val tmp = manifestDir(table).resolve(s"manifest-$id.json.tmp")
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, manifestDir(table).resolve(s"manifest-$id.json"),
-      StandardCopyOption.ATOMIC_MOVE)
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     val headTmp = Paths.get(table, "HEAD.tmp")
     Files.write(headTmp, id.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(headTmp, headFile(table), StandardCopyOption.ATOMIC_MOVE,

@@ -22,15 +22,6 @@ object Ann {
     dot(a, b) / sqrt(dot(a, a) * dot(b, b))
   }
 
-  /** Tight-loop dot product over double arrays (the HOF `aggregate` walks a
-    * boxed lambda per element; this is a single while-loop per pair). */
-  private val dotUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
-    var s = 0.0; var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) { s += a(i) * b(i); i += 1 }
-    s
-  }
-
   /** Normalize a float-vec column to a unit double array ONCE, so cosine
     * of any pair downstream is a single dot product (the reference-style
     * per-pair norm recomputation is O(3d) per pair and was the dominant
@@ -42,16 +33,56 @@ object Ann {
   }
 
   /** Exact top-k neighbors per query vector against the corpus; both inputs
-    * `(id, vec)`. O(|q|·|c|) dots on pre-normalized vectors — the
-    * correctness baseline and the right answer when one side broadcasts. */
+    * `(id, vec)`. The exact-baseline contract is "corpus fits on one node"
+    * (it was always the broadcast side); given that, the fastest correct
+    * plan is: normalize + collect the corpus once, broadcast the primitive
+    * `Array[Array[Double]]`, and scan it per query row in a tight
+    * while-loop inside `mapPartitions`. The previous crossJoin + scalar-UDF
+    * plan paid Seq[Double] boxing on every one of the |q|·|c| pairs (34s at
+    * 2000×2000×64d); this pays one conversion per ROW and pure primitive
+    * arithmetic per pair. Top-k selection happens inline per query — no
+    * window shuffle. Ties break by ascending cid, matching the oracle. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = queries.sparkSession
     val q = queries.select(col("id").as("qid"), normalize(col("vec")).as("qv"))
     val c = corpus.select(col("id").as("cid"), normalize(col("vec")).as("cv"))
-    val scored = q.crossJoin(broadcast(c))
-      .where(col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"), dotUdf(col("qv"), col("cv")).as("sim"))
-    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    val corpusArr = c.collect().map(r => (r.get(0), r.getSeq[Double](1).toArray))
+    val bc = spark.sparkContext.broadcast(corpusArr)
+    val idType = q.schema("qid").dataType
+    val outSchema = StructType(Seq(
+      StructField("qid", idType), StructField("cid", idType),
+      StructField("sim", DoubleType), StructField("rank", IntegerType)))
+    def cmpIds(a: Any, b: Any): Int =
+      a.asInstanceOf[Comparable[Any]].compareTo(b)
+    val rows = q.rdd.mapPartitions { it =>
+      val corp = bc.value
+      it.flatMap { r =>
+        val qid = r.get(0)
+        val qv = r.getSeq[Double](1).toArray
+        val scored = new Array[(Any, Double)](corp.length)
+        var m = 0
+        corp.foreach { case (cid, cv) =>
+          if (cid != qid) {
+            var s = 0.0; var i = 0
+            val n = math.min(qv.length, cv.length)
+            while (i < n) { s += qv(i) * cv(i); i += 1 }
+            scored(m) = (cid, s); m += 1
+          }
+        }
+        java.util.Arrays.sort(scored, 0, m,
+          new java.util.Comparator[(Any, Double)] {
+            def compare(x: (Any, Double), y: (Any, Double)): Int = {
+              val bySim = java.lang.Double.compare(y._2, x._2)
+              if (bySim != 0) bySim else cmpIds(x._1, y._1)
+            }
+          })
+        (0 until math.min(k, m)).iterator
+          .map(i => Row(qid, scored(i)._1, scored(i)._2, i + 1))
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
   }
 
   /** Deterministic pseudo-random unit hyperplane component: splitmix-style

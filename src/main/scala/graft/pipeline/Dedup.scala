@@ -19,12 +19,19 @@ import graft.text.TextAnalysis
   */
 object Dedup {
 
-  /** Exact dedup: one shuffle on the 8-byte fingerprint (never on text).
-    * Returns survivors `(id, text)` — min id per content group wins. */
+  /** Exact dedup: shuffle keyed on the 8-byte fingerprint, but the survivor
+    * choice groups on `(fp, text)` — full-text equality confirms each drop,
+    * so a 64-bit birthday collision (expected ~1e4 at 1e12 docs) can never
+    * silently delete a non-duplicate document. The text comparison happens
+    * only within fingerprint groups, which are tiny, and costs no extra
+    * shuffle: hash partitioning on `fp` already co-locates every `(fp,
+    * text)` group. Returns survivors `(id, text)` — min id per content
+    * group wins. */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val fp = TextAnalysis.fingerprint(col(textCol))
-    val w = Window.partitionBy(col("fp")).orderBy(col(idCol))
+    val w = Window.partitionBy(col("fp"), col(textCol)).orderBy(col(idCol))
     docs.withColumn("fp", fp)
+      .repartition(col("fp"))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)
       .drop("fp", "rn")
@@ -39,16 +46,35 @@ object Dedup {
 
   // ---- MinHash + LSH --------------------------------------------------------
 
-  /** Deterministic per-shingle 64-bit hash, then k independent minhashes
-    * (seeded xxhash64 re-mix per hash index — overflow-free under ANSI
-    * mode). All pure column expressions (codegen'd); no UDF. */
+  /** Deterministic k-minhash signature in ONE pass over the shingle array.
+    *
+    * The previous declarative form (`transform(base, h => xxhash64(h, i))`
+    * + `array_min`, once per hash index) re-walked the full shingle array
+    * `numHashes` times per document and was the dominant cost of
+    * `minhashCandidates` (44s of a 127s bench round). Here a single scalar
+    * UDF hashes each shingle once (polynomial hash + splitmix finalizer)
+    * and updates all k minima in the same loop — `numHashes`× fewer array
+    * traversals, and the per-index remix is one xor+mix instead of a full
+    * xxhash64 re-dispatch. Deterministic, partition-independent. */
   def minhashSignature(textCol: Column, shingleK: Int, numHashes: Int): Column = {
-    val sh = TextAnalysis.shingles(textCol, shingleK)
-    val base = transform(sh, s => xxhash64(s))
-    val hashes = (0 until numHashes).map { i =>
-      array_min(transform(base, h => xxhash64(h, lit(i))))
+    val k = numHashes
+    val sigUdf = udf { (shingles: Seq[String]) =>
+      val mins = Array.fill(k)(Long.MaxValue)
+      if (shingles != null) shingles.foreach { s =>
+        var h = 1125899906842597L
+        var j = 0
+        while (j < s.length) { h = h * 1000003L + s.charAt(j).toLong; j += 1 }
+        h = graft.ingest.Pages.mix(h)
+        var i = 0
+        while (i < k) {
+          val hi = graft.ingest.Pages.mix(h ^ (i.toLong * 0x9E3779B97F4A7C15L))
+          if (hi < mins(i)) mins(i) = hi
+          i += 1
+        }
+      }
+      mins.toSeq
     }
-    array(hashes: _*)
+    sigUdf(TextAnalysis.shingles(textCol, shingleK))
   }
 
   /** Candidate near-dup pairs via banded LSH: docs sharing any band bucket.
@@ -73,19 +99,56 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact word-n-gram Jaccard similarity for given candidate pairs (or all
-    * pairs sharing at least one n-gram when `candidates` is null). Pair
-    * counting: |A∩B| from a shingle equi-join, |A|,|B| from per-doc counts —
-    * never materializes a cross join. */
+  /** Exact word-n-gram Jaccard similarity. Pair counting: |A∩B| from a
+    * shingle equi-join, |A|,|B| from per-doc counts — never materializes a
+    * cross join.
+    *
+    * Scale controls (both off by default so the exact-oracle path is
+    * unchanged):
+    *
+    *  - `candidates`: optional `(id1, id2)` pair frame (e.g. from
+    *    [[minhashCandidates]]). When given, the gram join runs only over
+    *    docs appearing in some candidate pair (semi-join prune) and the
+    *    result is restricted to exactly those pairs. This is the LSH-verify
+    *    shape: candidates bound the quadratic term.
+    *  - `maxGramDf`: drop grams whose document frequency exceeds this cap
+    *    before the pair join. Without it one hot gram in 1e6 docs creates
+    *    1e12 join pairs. A capped gram contributes to neither |A∩B| nor the
+    *    sizes (both sides consistently), so Jaccard is computed exactly on
+    *    the capped gram sets — standard verify practice; document the cap
+    *    when reporting similarity semantics.
+    */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, minJaccard: Double = 0.0): DataFrame = {
-    val grams = docs.select(col(idCol).as("id"),
+      n: Int = 3, minJaccard: Double = 0.0,
+      candidates: Option[DataFrame] = None, maxGramDf: Long = 0L): DataFrame = {
+    val grams0 = docs.select(col(idCol).as("id"),
         explode(array_distinct(TextAnalysis.wordNgrams(col(textCol), n))).as("g"))
+    val grams1 = candidates match {
+      case Some(c) =>
+        val ids = c.select(col("id1").as("id"))
+          .union(c.select(col("id2").as("id"))).distinct()
+        grams0.join(ids, Seq("id"), "left_semi")
+      case None => grams0
+    }
+    val grams =
+      if (maxGramDf <= 0L) grams1
+      else {
+        val hot = grams1.groupBy("g").agg(count(lit(1)).as("gdf"))
+          .where(col("gdf") > maxGramDf).select("g")
+        grams1.join(hot, Seq("g"), "left_anti")
+      }
     val counts = grams.groupBy("id").agg(count(lit(1)).as("sz"))
-    val inter = grams.as("a").join(grams.as("b"),
+    val inter0 = grams.as("a").join(grams.as("b"),
         col("a.g") === col("b.g") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
       .agg(count(lit(1)).as("inter"))
+    val inter = candidates match {
+      case Some(c) => inter0.join(
+        c.select(least(col("id1"), col("id2")).as("id1"),
+          greatest(col("id1"), col("id2")).as("id2")).distinct(),
+        Seq("id1", "id2"), "left_semi")
+      case None => inter0
+    }
     inter
       .join(counts.select(col("id").as("id1"), col("sz").as("sz1")), "id1")
       .join(counts.select(col("id").as("id2"), col("sz").as("sz2")), "id2")

@@ -37,10 +37,13 @@ object CitationOps {
       : (DataFrame, DataFrame, DataFrame) = {
     def readCsv(file: String, wantHeader: Seq[String]): DataFrame = {
       val df = spark.read.option("header", true).csv(s"$path/$file")
+      // the reference's writer joins fields with ", " — trim the resulting
+      // leading space off header names (value-side spaces are absorbed by
+      // casts/trim below)
       val got = df.columns.toSeq.map(_.trim)
       require(got == wantHeader,
         s"$file: corrupted header: expected $wantHeader, got $got")
-      df
+      df.toDF(got: _*)
     }
     val nodes = readCsv(s"$prefix-citation-graph-nodes.csv",
         Seq("#id", s"in-$prefix", "year", "title"))
@@ -55,22 +58,36 @@ object CitationOps {
     (nodes, edges, labels)
   }
 
-  /** SaveCitationGraph (S2): writes the three CSVs back; titles re-escaped,
-    * edges deduped (refs ∪ reverse-of-cites collapses to a plain distinct
-    * in the normalized model — :2003-2026). */
+  /** SaveCitationGraph (S2): writes the three files in the reference's
+    * byte format (:1967-2046): fields joined by `", "` (comma-space, `%d, %t,
+    * %d, %s` — no CSV quoting), header line first, and TidyTitle applied to
+    * the comma-escaped title at save time (:1980). Edges are deduped (refs ∪
+    * reverse-of-cites collapses to a plain distinct in the normalized
+    * model — :2003-2026). */
   def save(nodes: DataFrame, edges: DataFrame, labels: DataFrame,
       path: String, prefix: String): Unit = {
+    val spark = nodes.sparkSession
+    def writeLines(header: String, body: DataFrame, file: String): Unit = {
+      val h = spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(0L, header)),
+        StructType(Seq(StructField("k", LongType), StructField("line", StringType))))
+      h.union(body.select(lit(1L).as("k"), col("line")))
+        .repartition(1).sortWithinPartitions(col("k"))
+        .select("line")
+        .write.mode("overwrite").text(s"$path/$file")
+    }
     val esc = udf(Tidy.escapeComma _)
-    nodes.select(col("id").as("#id"), col("isMain").as(s"in-$prefix"),
-        col("year"), esc(col("title")).as("title"))
-      .coalesce(1).write.mode("overwrite").option("header", true)
-      .csv(s"$path/$prefix-citation-graph-nodes.csv")
-    edges.select(col("id").as("#id"), col("refId").as("ref-id")).distinct()
-      .coalesce(1).write.mode("overwrite").option("header", true)
-      .csv(s"$path/$prefix-citation-graph-edges.csv")
-    labels.select(col("id").as("#id"), col("label"))
-      .coalesce(1).write.mode("overwrite").option("header", true)
-      .csv(s"$path/$prefix-citation-graph-labels.csv")
+    writeLines(s"#id, in-$prefix, year, title",
+      nodes.select(concat_ws(", ", col("id"), col("isMain").cast("string"),
+        col("year"), Tidy.tidy_title(esc(col("title")))).as("line")),
+      s"$prefix-citation-graph-nodes.csv")
+    writeLines("#id, ref-id",
+      edges.select(col("id"), col("refId")).distinct()
+        .select(concat_ws(", ", col("id"), col("refId")).as("line")),
+      s"$prefix-citation-graph-edges.csv")
+    writeLines("#id, label",
+      labels.select(concat_ws(", ", col("id"), col("label")).as("line")),
+      s"$prefix-citation-graph-labels.csv")
   }
 
   /** A12 — cite history: for each main node in the year window, citations
@@ -190,9 +207,12 @@ object CitationOps {
       .select(col("id"), col("year"), col("hist"))
   }
 
-  /** SortByYear (:4084-4103): year -> titles of main nodes, sorted. */
+  /** SortByYear (:4084-4103): year -> titles, sorted. The reference iterates
+    * ALL g.Nodes (main and cited alike), so no isMain filter here; titles
+    * are sorted within each year for determinism (the reference's map-order
+    * output is nondeterministic anyway). */
   def sortByYear(nodes: DataFrame): DataFrame =
-    nodes.where(col("isMain"))
+    nodes
       .groupBy("year")
       .agg(sort_array(collect_list(col("title"))).as("titles"))
       .orderBy("year")

@@ -28,7 +28,7 @@ class GSDMM(
   /** doc rows: (doc, words as (word,cnt) pairs, numWordsInDoc, topic) */
   type DocRow = (Long, Seq[(Int, Int)], Int, Int)
 
-  private def probTopicOfDoc(
+  private[topics] def probTopicOfDoc(
       words: Seq[(Int, Int)], nInDoc: Int, kOld: Int, idxK: Int,
       topicDocCount: Array[Long], topicWordCount: Map[(Int, Int), Long],
       topicWordSum: Array[Long], numDocs: Long, numWords: Double): Double = {
@@ -142,4 +142,48 @@ final case class GSDMMModel(
 
   /** Hard assignment per doc. */
   def assignments: DataFrame = docs.select(col("doc"), col("topic"))
+
+  /** ComputeEntropy (:1888-1917): mean over docs of the entropy of each
+    * doc's normalized resampling distribution `probTopicOfDoc(doc, kOld,
+    * ·)` — self-subtraction against the doc's CURRENT topic included,
+    * exactly like the reference. Distributed as a pure map over doc rows
+    * with the (tiny) counter tables broadcast. */
+  def entropy(spark: SparkSession): Double = {
+    import spark.implicits._
+    val g = gsdmm
+    val k = g.numTopics
+    val nd = numDocs
+    val nw = numWords.toDouble
+    val tdcB = spark.sparkContext.broadcast(topicDocCount)
+    val twcB = spark.sparkContext.broadcast(topicWordCount)
+    val twsB = spark.sparkContext.broadcast(topicWordSum)
+    val perDoc = docs.select(col("doc"), col("words"), col("nWords"), col("topic"))
+      .as[(Long, Seq[(Int, Int)], Int, Int)]
+      .map { case (_, ws, nInDoc, kOld) =>
+        val probs = new Array[Double](k)
+        var sum = 0.0
+        var idxK = 0
+        while (idxK < k) {
+          probs(idxK) = g.probTopicOfDoc(ws, nInDoc, kOld, idxK,
+            tdcB.value, twcB.value, twsB.value, nd, nw)
+          sum += probs(idxK)
+          idxK += 1
+        }
+        var e = 0.0
+        if (sum > 0.0) {
+          idxK = 0
+          while (idxK < k) {
+            val p = probs(idxK) / sum
+            if (p != 0.0) e -= p * math.log(p)
+            idxK += 1
+          }
+        }
+        e
+      }
+    perDoc.toDF("e").agg(sum(col("e"))).head().getDouble(0) / nd.toDouble
+  }
+
+  /** ComputeRelativeEntropy (:1921-1928). */
+  def relativeEntropy(spark: SparkSession): Double =
+    entropy(spark) / (-math.log(1.0 / gsdmm.numTopics))
 }

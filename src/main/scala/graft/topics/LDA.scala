@@ -31,7 +31,8 @@ class LDA(
     val numTopics: Int,
     val alpha: Double = 0.1,
     val beta: Double = 0.01,
-    val seed: Long = 42L) extends Serializable {
+    val seed: Long = 42L,
+    val broadcastCeiling: Long = 8L * 1000 * 1000) extends Serializable {
 
   /** uniform [0,1) from a counter-mode hash — no RNG state, no ordering */
   private def u01(h: Long): Double = ((h >>> 11).toDouble) / (1L << 53).toDouble
@@ -39,12 +40,53 @@ class LDA(
   private def rngHash(doc: Long, word: Int, occ: Int, iter: Int): Long =
     mix(mix(mix(mix(seed ^ doc) ^ word) ^ occ) ^ iter)
 
+  /** probTopicOfDocWord sampling with self-subtraction (:1164-1178) for one
+    * occurrence; `wtcOf(k)` supplies WordTopicCount[word][k] however the
+    * caller sourced it (broadcast map or joined-in per-row array). */
+  private def resampleOne(d: Long, w: Int, o: Int, kOld: Int, iter: Int, nw: Double,
+      docTopic: Array[Long], wtcOf: Int => Double, tsOf: Int => Double,
+      prefix: Array[Double]): Int = {
+    val k = numTopics; val a = alpha; val b = beta
+    var idxK = 0
+    while (idxK < k) {
+      var dtc = docTopic(idxK).toDouble
+      var wtc = wtcOf(idxK)
+      var tcs = tsOf(idxK)
+      if (idxK == kOld) { dtc -= 1; wtc -= 1; tcs -= 1 }
+      val prob = (a + dtc) * ((b + wtc) / (b * nw + tcs))
+      prefix(idxK) = if (idxK == 0) prob else prefix(idxK - 1) + prob
+      idxK += 1
+    }
+    val u = u01(rngHash(d, w, o, iter)) * prefix(k - 1)
+    var kNew = kOld
+    var i = 0
+    var done = false
+    while (i < k && !done) {
+      if (u < prefix(i)) { kNew = i; done = true }
+      i += 1
+    }
+    kNew
+  }
+
   /** Train on a bag-of-words corpus `(doc LONG, word INT, cnt INT)`.
     * Returns assignments `(doc, word, occ, topic)` after `numIters`
-    * supersteps plus the final counter tables. */
+    * supersteps plus the final counter tables.
+    *
+    * Counter strategy per superstep (the WordTopicCount table is vocab×K):
+    *  - vocab×K ≤ `broadcastCeiling`: collect + broadcast (one tiny map,
+    *    no extra shuffle) — the citation-scale fast path.
+    *  - vocab×K > `broadcastCeiling`: NEVER collected to the driver.
+    *    `(word, topic, cnt)` stays a Dataset, aggregated distributed and
+    *    joined into the assignments on `word` (each occurrence carries its
+    *    word's K-vector into the per-doc resample group). One extra shuffle
+    *    per superstep buys an unbounded vocab — at 1e8 terms × 100 topics
+    *    the broadcast variant would OOM the driver.
+    * Only the K-sized TopicCountSum is always collected (K is tiny). */
   def train(spark: SparkSession, bow: DataFrame, numWords: Int, numIters: Int)
       : LDAModel = {
     import spark.implicits._
+    val nw = numWords.toDouble
+    val lda = this
 
     // explode occurrences; init topic = seeded hash (reference: rand.Intn)
     var assigns: Dataset[(Long, Int, Int, Int)] = bow
@@ -56,60 +98,73 @@ class LDA(
         }
       }.localCheckpoint(true)
 
-    (0 until numIters).foreach { iter =>
-      val (wordTopic, topicSum) = counters(spark, assigns)
-      val wtB = spark.sparkContext.broadcast(wordTopic)
-      val tsB = spark.sparkContext.broadcast(topicSum)
-      val k = numTopics; val a = alpha; val b = beta; val nw = numWords.toDouble
-      val rng = (d: Long, w: Int, o: Int) => rngHash(d, w, o, iter)
+    val useJoin = numWords.toLong * numTopics > broadcastCeiling
+    val k = numTopics
 
-      assigns = assigns.groupByKey(_._1).flatMapGroups { (doc, it) =>
-        val rows = it.toArray
-        // DocTopicCount[doc] computed locally — never shuffled or broadcast
-        val docTopic = new Array[Long](k)
-        rows.foreach(r => docTopic(r._4) += 1)
-        val wt = wtB.value; val ts = tsB.value
-        val prefix = new Array[Double](k)
-        rows.map { case (d, w, o, kOld) =>
-          var idxK = 0
-          while (idxK < k) {
-            // probTopicOfDocWord with self-subtraction (:1164-1178)
-            var dtc = docTopic(idxK).toDouble
-            var wtc = wt.getOrElse((w, idxK), 0L).toDouble
-            var tcs = ts.getOrElse(idxK, 0L).toDouble
-            if (idxK == kOld) { dtc -= 1; wtc -= 1; tcs -= 1 }
-            val prob = (a + dtc) * ((b + wtc) / (b * nw + tcs))
-            prefix(idxK) = if (idxK == 0) prob else prefix(idxK - 1) + prob
-            idxK += 1
-          }
-          val u = u01(rng(d, w, o)) * prefix(k - 1)
-          var kNew = kOld
-          var i = 0
-          var done = false
-          while (i < k && !done) {
-            if (u < prefix(i)) { kNew = i; done = true }
-            i += 1
-          }
-          (d, w, o, kNew)
-        }.iterator
-      }.localCheckpoint(true) // superstep barrier + lineage truncation
+    (0 until numIters).foreach { iter =>
+      val topicSum = assigns.groupByKey(_._4).count().collect().toMap
+      val tsB = spark.sparkContext.broadcast(topicSum)
+
+      if (!useJoin) {
+        val wordTopic = assigns.groupByKey(r => (r._2, r._4)).count().collect().toMap
+        val wtB = spark.sparkContext.broadcast(wordTopic)
+        assigns = assigns.groupByKey(_._1).flatMapGroups { (doc, it) =>
+          val rows = it.toArray
+          // DocTopicCount[doc] computed locally — never shuffled or broadcast
+          val docTopic = new Array[Long](k)
+          rows.foreach(r => docTopic(r._4) += 1)
+          val wt = wtB.value; val ts = tsB.value
+          val prefix = new Array[Double](k)
+          rows.map { case (d, w, o, kOld) =>
+            val kNew = lda.resampleOne(d, w, o, kOld, iter, nw, docTopic,
+              idxK => wt.getOrElse((w, idxK), 0L).toDouble,
+              idxK => ts.getOrElse(idxK, 0L).toDouble, prefix)
+            (d, w, o, kNew)
+          }.iterator
+        }.localCheckpoint(true) // superstep barrier + lineage truncation
+      } else {
+        // distributed counter table joined on word: (word -> K-vector)
+        val wt = assigns.toDF("doc", "word", "occ", "topic")
+          .groupBy("word", "topic").agg(count(lit(1)).as("c"))
+          .groupBy("word")
+          .agg(collect_list(struct(col("topic").as("_1"), col("c").as("_2")))
+            .as("wts"))
+        val joined = assigns.toDF("doc", "word", "occ", "topic")
+          .join(wt, "word")
+          .select(col("doc").as("_1"), col("word").as("_2"),
+            col("occ").as("_3"), col("topic").as("_4"), col("wts").as("_5"))
+          .as[(Long, Int, Int, Int, Seq[(Int, Long)])]
+        assigns = joined.groupByKey(_._1).flatMapGroups { (doc, it) =>
+          val rows = it.toArray
+          val docTopic = new Array[Long](k)
+          rows.foreach(r => docTopic(r._4) += 1)
+          val ts = tsB.value
+          val prefix = new Array[Double](k)
+          val wtArr = new Array[Double](k)
+          rows.map { case (d, w, o, kOld, wts) =>
+            java.util.Arrays.fill(wtArr, 0.0)
+            wts.foreach { case (t, c) => wtArr(t) = c.toDouble }
+            val kNew = lda.resampleOne(d, w, o, kOld, iter, nw, docTopic,
+              idxK => wtArr(idxK),
+              idxK => ts.getOrElse(idxK, 0L).toDouble, prefix)
+            (d, w, o, kNew)
+          }.iterator
+        }.localCheckpoint(true)
+      }
     }
 
-    val (wordTopic, topicSum) = counters(spark, assigns)
+    val wordTopic = assigns.groupByKey(r => (r._2, r._4)).count().collect().toMap
+    val topicSum = assigns.groupByKey(_._4).count().collect().toMap
     LDAModel(this, assigns.toDF("doc", "word", "occ", "topic"),
       wordTopic, topicSum, numWords)
   }
-
-  /** A6 — the three counter aggregations off one assignments Dataset. */
-  private def counters(spark: SparkSession, assigns: Dataset[(Long, Int, Int, Int)])
-      : (Map[(Int, Int), Long], Map[Int, Long]) = {
-    import spark.implicits._
-    val wt = assigns.groupByKey(r => (r._2, r._4)).count().collect().toMap
-    val ts = assigns.groupByKey(_._4).count().collect().toMap
-    (wt, ts)
-  }
 }
 
+/** Trained model. `wordTopic` is materialized ONCE at the end of training
+  * for `infer` (which is per-doc, reference :1277-1307); the per-superstep
+  * training path never collects it when vocab×K exceeds the ceiling. For
+  * unbounded-vocab inference, aggregate counters from `assignments`
+  * distributed instead of using this map. */
 final case class LDAModel(
     lda: LDA,
     assignments: DataFrame, // (doc, word, occ, topic)

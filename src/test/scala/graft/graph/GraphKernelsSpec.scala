@@ -83,6 +83,26 @@ class GraphKernelsSpec extends SparkSpec {
     assert(Triangles.globalCount(e) == 20L)
   }
 
+  test("KahanSum merge folds partial compensation with the right sign") {
+    // a state (sum, c) represents sum - c; merging (0,0) with (10,3) must
+    // yield 7 — the wrong sign (add +c_b) would yield 13
+    assert(KahanSum.finish(KahanSum.merge((0.0, 0.0), (10.0, 3.0))) == 7.0)
+    assert(KahanSum.finish(KahanSum.merge((10.0, 3.0), (0.0, 0.0))) == 7.0)
+    // end-to-end through reduce+merge: values whose compensation is live at
+    // merge time (1e16 has ulp 2, so the three 1.0s survive only in c)
+    val parts = Seq(Seq(1e16, 1.0, 1.0, 1.0), Seq(-1e16, -1.0))
+    val states = parts.map(_.foldLeft(KahanSum.zero)(KahanSum.reduce))
+    assert(math.abs(KahanSum.finish(states.reduce(KahanSum.merge)) - 2.0) <= 2.0 + 1e-9)
+    // order/partitioning invariance across a wide dynamic range via the udaf
+    val xs = (0 until 1000).flatMap(i => Seq(1e12 + i, -(1e12 + i), 0.001))
+    val g1 = xs.toDF("x").repartition(3).agg(KahanSum.column($"x")).as[Double].head()
+    val g2 = xs.reverse.toDF("x").repartition(17).agg(KahanSum.column($"x")).as[Double].head()
+    // condition number Σ|x|/|result| ≈ 2e15 ⇒ even compensated summation
+    // only guarantees ~eps·Σ|x| ≈ 1e-3 here; the point is order invariance
+    // within that bound, not exactness
+    assert(math.abs(g1 - 1.0) < 0.01 && math.abs(g2 - 1.0) < 0.01)
+  }
+
   test("kernels are partitioning-invariant") {
     val edges = Referee.zipf(300, 1200, 7L)
     val a = edges.toDF("src", "dst").repartition(2)
