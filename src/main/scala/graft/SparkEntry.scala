@@ -9,7 +9,7 @@ import graft.graph.{ConnectedComponents, LabelPropagation, PageRank, Triangles}
 import graft.ingest.{Graphs, Pages}
 import graft.metrics.Metrics
 import graft.pipeline.{Ann, Dedup, Multimodal}
-import graft.ref.CitationOps
+import graft.ref.{CitationCorpus, CitationOps}
 import graft.text.{TextAnalysis, Tidy}
 
 /** Driver contract — one `queries` entry per implemented operator family
@@ -55,6 +55,25 @@ object SparkEntry {
     val edges = li(s, dir)
       .select(col("l_orderkey").as("id"), (col("l_partkey") % 15000).as("refId"))
       .where(col("id") =!= col("refId")).distinct()
+    (nodes, edges)
+  }
+
+  /** Documents-derived citation graph for the corpus-from-graph (E1/E2)
+    * query family: nodes = documents (title = text, every even doc_id is
+    * main), edges = two deterministic modular references per doc. Both
+    * sides (Spark and the DuckDB oracle) derive it identically. */
+  private def corpusGraph(s: SparkSession, dir: String,
+      maxDocs: Long = Long.MaxValue): (DataFrame, DataFrame) = {
+    val d = if (maxDocs == Long.MaxValue) docs(s, dir)
+            else docs(s, dir).where(col("doc_id") < maxDocs)
+    val n = d.count()
+    val nodes = d.select(col("doc_id").cast("long").as("id"),
+      (col("doc_id") % 2 === 0).as("isMain"), lit(2000L).as("year"),
+      col("text").as("title"))
+    val edges = d.select(col("doc_id").cast("long").as("id"),
+        explode(array(lit(1L), lit(2L))).as("i"))
+      .select(col("id"), ((col("id") * 31 + col("i") * 17) % n).as("refId"))
+      .where(col("id") =!= col("refId"))
     (nodes, edges)
   }
 
@@ -229,7 +248,9 @@ object SparkEntry {
         .join(dfreq.select(col("tok").as("w2"), col("df").as("df2")), "w2")
         .withColumn("expected",
           col("df1").cast("double") * col("df2") / n.toDouble)
-        .where(col("freq") >= 5 && col("freq") >= lit(2.0) * col("expected"))
+        // ratio 1.05: the synthetic token co-occurrences top out at lift
+        // ~1.09, so 2.0 produced an (oracle-vacuous) empty result
+        .where(col("freq") >= 5 && col("freq") >= lit(1.05) * col("expected"))
         .select(col("w1"), col("w2"), col("freq"),
           round(col("expected"), 6).as("expected"))
     }),
@@ -311,6 +332,54 @@ object SparkEntry {
         .where(col("common") >= 20)
         .withColumn("sim", lit(1.0))
       Clustering.dbscan(s, pairs, eps = 0.5, minPts = 2)
+        .select(col("member"), col("cluster"))
+    }),
+
+    // ---- E1/E2 corpus-from-graph compositions (SURVEY §3) ------------------
+    // J2 ref-title fan-out + A1 word counts (CreateCorpus type 0)
+    "c_corpus_from_graph" -> ((s, dir) => {
+      val (nodes, edges) = corpusGraph(s, dir)
+      CitationCorpus.tokenStream(nodes, edges, null, corpusType = 0)
+        .groupBy(col("doc"), col("term")).agg(count(lit(1)).as("cnt"))
+    }),
+    // plain TFIDF over the graph corpus (:2058-2102)
+    "c_tfidf_graph" -> ((s, dir) => {
+      val (nodes, edges) = corpusGraph(s, dir)
+      CitationCorpus.tfidf(nodes, edges)
+        .select(col("doc"), col("phrase"), round(col("weight"), 6).as("weight"))
+    }),
+    // GetStronglyConnectedPhrases (:3673-3797) on a 120-doc slice
+    "f_strong_pairs" -> ((s, dir) => {
+      val (nodes, edges) = corpusGraph(s, dir, maxDocs = 120)
+      CitationCorpus.stronglyConnectedPhrases(nodes, edges,
+          thresFreq = 4.0, thresRatio = 1.5)
+        .select(least(col("p1"), col("p2")).as("p1"),
+          greatest(col("p1"), col("p2")).as("p2"),
+          col("actual"), round(col("expected"), 6).as("expected"))
+    }),
+    // E1 ClusterByLDA end-to-end (rows-only: seeded Gibbs not in SQL)
+    "e_cluster_lda" -> ((s, dir) => {
+      val (nodes, edges) = corpusGraph(s, dir, maxDocs = 120)
+      CitationCorpus.clusterByLDA(s, nodes, edges,
+          numTopics = 4, alpha = 0.1, beta = 0.01, numIters = 2)
+        .select(col("doc"),
+          expr("array_position(membership, array_max(membership))")
+            .cast("long").as("topic"))
+    }),
+    // E2 ClusterTitlesByGSDMM end-to-end (rows-only)
+    "e_cluster_gsdmm" -> ((s, dir) => {
+      val (nodes, edges) = corpusGraph(s, dir, maxDocs = 60)
+      CitationCorpus.clusterTitlesByGSDMM(s, nodes, edges,
+          simType = 2, numTopics = 3, alpha = 0.1, beta = 0.01, numIters = 2)
+        .select(col("doc"),
+          expr("array_position(membership, array_max(membership))")
+            .cast("long").as("topic"))
+    }),
+    // ClusterTitlesByWPDM end-to-end (rows-only)
+    "e_cluster_wpdm" -> ((s, dir) => {
+      val (nodes, edges) = corpusGraph(s, dir, maxDocs = 60)
+      CitationCorpus.clusterTitlesByWPDM(s, nodes, edges,
+          eps = 0.05, minPts = 2, simType = 2)
         .select(col("member"), col("cluster"))
     }),
 
@@ -396,6 +465,50 @@ object SparkEntry {
       s"""WITH seq AS ($lseq), v AS ($vocabSql)
          |SELECT seq.doc_id AS doc, v.word, count(*) AS cnt
          |FROM seq JOIN v ON seq.term = v.term GROUP BY 1, 2""".stripMargin
+
+    // ---- E1/E2 corpus-from-graph snippets: candidate extraction (stopword
+    // runs + the Stemmer suffix rules) replicated in SQL over `documents`
+    val stopList = Seq("a", "an", "the", "of", "in", "on", "for", "to", "and",
+      "or", "with", "by", "at", "from", "as", "is", "are", "was", "were",
+      "be", "its", "this", "that", "these", "those", "via", "using",
+      "toward", "towards").map(s => s"'$s'").mkString(", ")
+    def candSql(docsFilter: String): String =
+      s"""docsrc AS (SELECT doc_id, text FROM documents $docsFilter),
+         |words AS (
+         |  SELECT doc_id AS id, u.w AS w, u.i AS i
+         |  FROM docsrc,
+         |    unnest(list_transform(
+         |      list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0),
+         |      (x, i) -> struct_pack(w := x, i := i))) AS t(u)),
+         |runs AS (
+         |  SELECT id, w, i,
+         |    sum(CASE WHEN w IN ($stopList) THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY id ORDER BY i) AS grp,
+         |    (w IN ($stopList)) AS stop
+         |  FROM words),
+         |stemmed AS (
+         |  SELECT id, grp, i,
+         |    CASE WHEN v LIKE '%ing' AND len(v) > 5 THEN v[1:len(v)-3]
+         |         WHEN v LIKE '%ed' AND len(v) > 4 THEN v[1:len(v)-2]
+         |         ELSE v END AS sw
+         |  FROM (
+         |    SELECT id, grp, i,
+         |      CASE WHEN w LIKE '%sses' THEN w[1:len(w)-2]
+         |           WHEN w LIKE '%ies' THEN w[1:len(w)-2]
+         |           WHEN w LIKE '%s' AND NOT w LIKE '%ss' AND len(w) > 3
+         |             THEN w[1:len(w)-1]
+         |           ELSE w END AS v
+         |    FROM runs WHERE NOT stop)),
+         |cands AS (
+         |  SELECT id, grp, string_agg(sw, ' ' ORDER BY i) AS phrase
+         |  FROM stemmed GROUP BY id, grp),
+         |nn AS (SELECT count(*) AS n FROM docsrc),
+         |mains AS (SELECT doc_id AS id FROM docsrc WHERE doc_id % 2 = 0),
+         |refs AS (SELECT doc_id AS id,
+         |    (doc_id*31 + i*17) % (SELECT n FROM nn) AS refId
+         |  FROM docsrc, range(1, 3) r(i)
+         |  WHERE doc_id % 2 = 0
+         |    AND (doc_id*31 + i*17) % (SELECT n FROM nn) <> doc_id)""".stripMargin
 
     Map(
       "g_pagerank" -> s"""
@@ -604,7 +717,7 @@ object SparkEntry {
         |SELECT w1, w2, freq,
         |  round(d1.df::DOUBLE * d2.df / (SELECT n FROM n), 6) AS expected
         |FROM pairs JOIN dfreq d1 ON w1 = d1.tok JOIN dfreq d2 ON w2 = d2.tok
-        |WHERE freq >= 5 AND freq >= 2.0 * (d1.df::DOUBLE * d2.df / (SELECT n FROM n))""".stripMargin,
+        |WHERE freq >= 5 AND freq >= 1.05 * (d1.df::DOUBLE * d2.df / (SELECT n FROM n))""".stripMargin,
 
       "d_exact_dedup" -> """
         |SELECT min(doc_id) AS doc_id FROM documents GROUP BY text""".stripMargin,
@@ -645,6 +758,57 @@ object SparkEntry {
         |  SELECT qid, cid, sim, row_number() OVER
         |    (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rk FROM pairs)
         |WHERE rk = 1""".stripMargin,
+
+      "c_corpus_from_graph" -> s"""
+        |WITH ${candSql("")},
+        |wcounts AS (SELECT id, sw AS term, count(*) AS c FROM stemmed GROUP BY 1, 2),
+        |allc AS (
+        |  SELECT m.id AS doc, w.term, w.c AS cnt
+        |  FROM mains m JOIN wcounts w ON w.id = m.id
+        |  UNION ALL
+        |  SELECT r.id AS doc, w.term, w.c
+        |  FROM refs r JOIN wcounts w ON w.id = r.refId)
+        |SELECT doc, term, sum(cnt)::BIGINT AS cnt FROM allc GROUP BY 1, 2""".stripMargin,
+
+      "c_tfidf_graph" -> s"""
+        |WITH ${candSql("")},
+        |pool AS (
+        |  SELECT m.id AS doc, c.phrase FROM mains m JOIN cands c ON c.id = m.id
+        |  UNION ALL
+        |  SELECT r.id AS doc, c.phrase FROM refs r JOIN cands c ON c.id = r.refId),
+        |tcands AS (SELECT DISTINCT m.id AS doc, c.phrase
+        |  FROM mains m JOIN cands c ON c.id = m.id),
+        |tf AS (SELECT t.doc, t.phrase, count(*)::DOUBLE AS tf
+        |  FROM tcands t JOIN pool p ON p.doc = t.doc AND p.phrase = t.phrase
+        |  GROUP BY 1, 2),
+        |nmain AS (SELECT count(*)::DOUBLE AS n FROM mains),
+        |df AS (SELECT phrase, count(*) AS df FROM tcands GROUP BY 1)
+        |SELECT tf.doc, tf.phrase,
+        |  round(tf.tf * ln((SELECT n FROM nmain) / df.df), 6) AS weight
+        |FROM tf JOIN df ON tf.phrase = df.phrase""".stripMargin,
+
+      "f_strong_pairs" -> s"""
+        |WITH ${candSql("WHERE doc_id < 120")},
+        |subp AS (
+        |  SELECT DISTINCT id, grp, s.t AS term
+        |  FROM (SELECT id, grp, string_split(phrase, ' ') AS ws FROM cands),
+        |    unnest(flatten(list_transform(range(1, len(ws)+1), i ->
+        |      list_transform(range(i, len(ws)+1),
+        |        j -> array_to_string(ws[i:j], ' '))))) AS s(t)),
+        |nd AS (SELECT count(*)::DOUBLE AS nd FROM docsrc),
+        |dfreq AS (SELECT term, count(DISTINCT id) AS df FROM subp GROUP BY term),
+        |pairs AS (
+        |  SELECT a.term AS q1, b.term AS q2, count(DISTINCT a.id) AS docs
+        |  FROM subp a JOIN subp b
+        |    ON a.id = b.id AND a.grp <> b.grp AND a.term < b.term
+        |  GROUP BY 1, 2)
+        |SELECT q1 AS p1, q2 AS p2, docs::DOUBLE AS actual,
+        |  round(d1.df / (SELECT nd FROM nd) * d2.df / (SELECT nd FROM nd)
+        |    * (SELECT nd FROM nd), 6) AS expected
+        |FROM pairs JOIN dfreq d1 ON q1 = d1.term JOIN dfreq d2 ON q2 = d2.term
+        |WHERE docs >= 4 AND docs >= 1.5 *
+        |  (d1.df / (SELECT nd FROM nd) * d2.df / (SELECT nd FROM nd)
+        |    * (SELECT nd FROM nd))""".stripMargin,
 
       "c_vocab" -> vocabSql,
 

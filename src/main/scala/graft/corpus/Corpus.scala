@@ -82,6 +82,21 @@ object Corpus {
     (out, missing)
   }
 
+  /** `CorpusX.translate` (CitationGraphs.go:957-981): the grouped-corpus
+    * variant of [[translate]] — re-encode `(doc, grp, word, cnt)` onto a
+    * new vocab, preserving groups; the caller must assert `missing`
+    * empty (the reference log.Fatals on an unmapped term). */
+  def translateX(bowX: DataFrame, oldVocab: DataFrame, newVocab: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val mapped = oldVocab.select(col("term"), col("word").as("oldWord"))
+      .join(newVocab.select(col("term"), col("word").as("newWord")), Seq("term"), "left")
+    val missing = mapped.where(col("newWord").isNull).select("term")
+    val out = bowX.join(broadcast(mapped.where(col("newWord").isNotNull))
+        .select(col("oldWord").as("word"), col("newWord")), "word")
+      .select(col("doc"), col("grp"), col("newWord").as("word"), col("cnt"))
+    (out, missing)
+  }
+
   /** A2/A3 — GetConcurrences: Σ_docs cnt1*cnt2 over same-doc word pairs,
     * `w1 < w2` triangular enumeration (CitationGraphs.go:214-294). The
     * self-join shuffles once on `doc`; the pair aggregation is a map-side

@@ -15,6 +15,34 @@ import graft.ingest.Pages.mix
   * K word sums) and broadcast; docs are rows `(doc, words, topic)` and
   * resampling is a pure map with hash-seeded RNG.
   */
+object GSDMM {
+  /** Infer core (:1838-1884), shared by the driver-side and distributed
+    * paths. docPart denominator uses `dct - 1` exactly as the reference. */
+  private[topics] def inferDoc(words: Seq[(Int, Int)], numTopics: Int,
+      alpha: Double, beta: Double, topicDocCount: Array[Long],
+      topicWordCount: Map[(Int, Int), Long], topicWordSum: Array[Long],
+      numDocs: Long, numWords: Int): Seq[Double] = {
+    val probs = (0 until numTopics).map { idxK =>
+      val dct = topicDocCount(idxK).toDouble
+      val docPart = (dct + alpha) / (dct - 1.0 + alpha * numDocs)
+      var wordPart = 1.0
+      var idxWordInDoc = 0
+      val tws = topicWordSum(idxK).toDouble
+      words.foreach { case (w, cnt) =>
+        val wct = topicWordCount.getOrElse((idxK, w), 0L).toDouble
+        (0 until cnt).foreach { j =>
+          wordPart *= (wct + beta + j) / (tws + beta * numWords + idxWordInDoc)
+          idxWordInDoc += 1
+        }
+      }
+      docPart * wordPart
+    }
+    val s0 = probs.sum
+    val s = if (s0 == 0.0) 1.0 else s0
+    probs.map(_ / s)
+  }
+}
+
 class GSDMM(
     val numTopics: Int,
     val alpha: Double = 0.1,
@@ -118,26 +146,26 @@ final case class GSDMMModel(
 
   /** Infer (:1838-1884) — note the reference's docPart uses
     * `docCountOfTopic - 1` in the denominator; replicated verbatim. */
-  def infer(words: Seq[(Int, Int)]): Seq[Double] = {
+  def infer(words: Seq[(Int, Int)]): Seq[Double] =
+    GSDMM.inferDoc(words, gsdmm.numTopics, gsdmm.alpha, gsdmm.beta,
+      topicDocCount, topicWordCount, topicWordSum, numDocs, numWords)
+
+  /** Distributed Infer over every trained doc: `(doc, membership)`. The
+    * (tiny) counter tables ride a broadcast; inference is a pure map. */
+  def inferMemberships(spark: SparkSession): DataFrame = {
+    import spark.implicits._
     val g = gsdmm
-    val probs = (0 until g.numTopics).map { idxK =>
-      val dct = topicDocCount(idxK).toDouble
-      val docPart = (dct + g.alpha) / (dct - 1.0 + g.alpha * numDocs)
-      var wordPart = 1.0
-      var idxWordInDoc = 0
-      val tws = topicWordSum(idxK).toDouble
-      words.foreach { case (w, cnt) =>
-        val wct = topicWordCount.getOrElse((idxK, w), 0L).toDouble
-        (0 until cnt).foreach { j =>
-          wordPart *= (wct + g.beta + j) / (tws + g.beta * numWords + idxWordInDoc)
-          idxWordInDoc += 1
-        }
+    val k = g.numTopics; val a = g.alpha; val b = g.beta
+    val stateB = spark.sparkContext.broadcast(
+      (topicDocCount, topicWordCount, topicWordSum))
+    val nd = numDocs; val nw = numWords
+    docs.select(col("doc"), col("words"))
+      .as[(Long, Seq[(Int, Int)])]
+      .map { case (doc, ws) =>
+        val (tdc, twc, tws) = stateB.value
+        (doc, GSDMM.inferDoc(ws, k, a, b, tdc, twc, tws, nd, nw))
       }
-      docPart * wordPart
-    }
-    val s0 = probs.sum
-    val s = if (s0 == 0.0) 1.0 else s0
-    probs.map(_ / s)
+      .toDF("doc", "membership")
   }
 
   /** Hard assignment per doc. */
