@@ -72,13 +72,17 @@ object Similarity {
 
   /** J10 — year-over-year rank jumps (Leap2Trend, CitationGraphs.go:
     * 4307-4315): equi-join each year's ranks with the previous year's on
-    * `(p, nbr)`, jump = prevRank - rank, keep `jump >= minJump`. */
+    * `(p, nbr)`, jump = rank - prevRank (the reference's orientation at
+    * :4311 — positive when the pair moved APART in the ranking), keep
+    * `jump >= minJump`. Pairs absent from the current year default to
+    * rank 0 in the reference (nil-map zero value), making their jump
+    * negative — equivalent to this inner join whenever minJump >= 1. */
   def rankJumps(ranksByYear: DataFrame, minJump: Int): DataFrame = {
     val cur = ranksByYear.select(col("p"), col("nbr"), col("year"), col("rank"))
     val prev = ranksByYear.select(col("p"), col("nbr"),
       (col("year") + 1).as("year"), col("rank").as("prevRank"))
     cur.join(prev, Seq("p", "nbr", "year"))
-      .withColumn("jump", col("prevRank") - col("rank"))
+      .withColumn("jump", col("rank") - col("prevRank"))
       .where(col("jump") >= minJump)
       .orderBy(desc("jump"), asc("p"), asc("nbr"))
   }

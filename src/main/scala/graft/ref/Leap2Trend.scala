@@ -2,6 +2,7 @@ package graft.ref
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.corpus.Similarity
 
@@ -13,8 +14,10 @@ object Leap2Trend {
 
   /** S4 — SaveWord2VecTrainingData (:3799-3866): per-year CUMULATIVE token
     * files — for each year Y in [yearStartFrom, maxYear], all English docs
-    * with year <= Y; phrases space->underscore (:3859). The per-year loop
-    * becomes a years-dim crossJoin + filter, written `partitionBy(y)`. */
+    * with year <= Y. Docs carry `toks ARRAY<STRING>` (vocab terms, each
+    * possibly a multi-word phrase); each term gets space->underscore
+    * (:3859, applied PER TERM) and terms join with spaces. The per-year
+    * loop becomes a years-dim crossJoin + filter, written `partitionBy(y)`. */
   def saveTrainingData(docs: DataFrame, outDir: String, yearStartFrom: Int): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -25,9 +28,13 @@ object Leap2Trend {
     docs.where(col("lang") === "en")
       .crossJoin(yearsDim)
       .where(col("year") <= col("y"))
-      .select(col("y"), regexp_replace(col("text"), " ", "_").as("line"))
+      .select(col("y"), trainLine(col("toks")).as("line"))
       .write.mode("overwrite").partitionBy("y").text(outDir)
   }
+
+  /** one training-file line: per-term space->underscore, space-joined */
+  private def trainLine(toks: org.apache.spark.sql.Column) =
+    concat_ws(" ", transform(toks, t => regexp_replace(t, " ", "_")))
 
   /** Per-year phrase similarity ranks: for each `(year, phrase, vec)` row,
     * rank all other phrases of the same year by cosine desc (J6 + W1).
@@ -48,17 +55,11 @@ object Leap2Trend {
   }
 
   /** J10 + S6 — year-over-year rank jumps (:4307-4326): equi-join each
-    * year's ranks with the previous year on (p, nbr); jump = prevRank -
-    * rank; keep jump >= minJump; sorted by jump desc. */
-  def rankJumps(ranksByYear: DataFrame, minJump: Int): DataFrame = {
-    val cur = ranksByYear.select(col("p"), col("nbr"), col("year"), col("rank"))
-    val prev = ranksByYear.select(col("p"), col("nbr"),
-      (col("year") + 1).as("year"), col("rank").as("prevRank"))
-    cur.join(prev, Seq("p", "nbr", "year"))
-      .withColumn("jump", col("prevRank") - col("rank"))
-      .where(col("jump") >= minJump)
-      .orderBy(desc("jump"), asc("p"), asc("nbr"))
-  }
+    * year's ranks with the previous year on (p, nbr); jump = rank -
+    * prevRank (the reference's orientation, :4311); keep jump >= minJump;
+    * sorted by jump desc. */
+  def rankJumps(ranksByYear: DataFrame, minJump: Int): DataFrame =
+    Similarity.rankJumps(ranksByYear, minJump)
 
   /** Full pipeline over a `(year, phrase, vec)` embedding table (vectors
     * may come from [[trainEmbeddings]] or any other source). */
@@ -101,6 +102,129 @@ object Leap2Trend {
 
   private val vecToArray = udf { (v: org.apache.spark.ml.linalg.Vector) =>
     v.toArray.toSeq
+  }
+
+  // ---- S5/S6/S7 file-format parity (:4240-4331, :4131-4134) ---------------
+
+  /** S5 — `.vec` text reader (:4252-4266): lines `phrase v1 .. vDim`
+    * space-separated; lines with fewer than dim+1 fields are skipped;
+    * unparseable floats become 0.0 (the reference ignores ParseFloat
+    * errors). Returns `(year, phrase, vec ARRAY<DOUBLE>)`. */
+  def loadVecFile(spark: SparkSession, path: String, year: Int,
+      dim: Int = 100): DataFrame = {
+    val fields = split(col("value"), " ")
+    spark.read.text(path)
+      .where(size(fields) >= dim + 1)
+      .select(lit(year.toLong).as("year"),
+        element_at(fields, 1).as("phrase"),
+        // try_cast: malformed floats become 0.0 (ignored ParseFloat error),
+        // and ANSI mode must not abort the scan
+        transform(slice(fields, 2, dim),
+          f => coalesce(f.try_cast(DoubleType), lit(0.0))).as("vec"))
+  }
+
+  /** S7 — `.vec` text sink: one `phrase v1 .. vDim` line per vector, the
+    * format [[loadVecFile]] and the reference's loader read back. */
+  def saveVecFile(vectors: DataFrame, path: String): Unit =
+    vectors.select(concat_ws(" ", col("phrase"),
+        concat_ws(" ", transform(col("vec"), v => v.cast("string")))).as("line"))
+      .coalesce(1).write.mode("overwrite").text(path)
+
+  /** S5 — `-IDs-` file reader (:4269-4275): one id per line; unparseable
+    * lines become 0 (ignored ParseInt error). */
+  def loadIdsFile(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+      .select(coalesce(trim(col("value")).try_cast(LongType), lit(0L)).as("id"))
+
+  /** training-text phrase frequencies (:4278-4297): space-split token
+    * counts over the per-year training file; `highFreq` keeps
+    * freq >= minFreq (P7). */
+  def loadTrainFreqs(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+      .select(explode(split(col("value"), " ")).as("phrase"))
+      .groupBy("phrase").agg(count(lit(1)).as("freq"))
+
+  /** S6 — `-jumpranking-Y.csv` sink (:4321-4326): `idx, p1, p2, jump`
+    * lines joined with `", "`, sorted by jump desc (ties pinned by
+    * (p, nbr) — the reference's sort.Slice is unstable). */
+  def saveJumpRanking(jumps: DataFrame, prefix: String, year: Int): Unit = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("jump"), asc("p"), asc("nbr"))
+    jumps.select(col("p"), col("nbr"), col("jump"))
+      .withColumn("idx", row_number().over(w) - 1)
+      .select(concat_ws(", ", col("idx"), col("p"), col("nbr"), col("jump")).as("line"))
+      .coalesce(1).write.mode("overwrite").text(s"$prefix-jumpranking-$year.csv")
+  }
+
+  /** S4 file-name parity: per-year CUMULATIVE training text under the
+    * reference's `<prefix>-<y>.txt` names (:3838-3865; each "file" is a
+    * single-part directory Spark and the readers here both accept).
+    * Docs carry `toks ARRAY<STRING>` like [[saveTrainingData]]. Writes the
+    * parallel `<prefix>-IDs-<y>.txt` id files too when docs carry an `id`
+    * column. */
+  def saveTrainingDataFiles(docs: DataFrame, prefix: String,
+      yearStartFrom: Int): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val years = docs.agg(min("year"), max("year")).as[(Long, Long)].head()
+    val yMin = math.max(years._1.toInt, yearStartFrom)
+    (yMin to years._2.toInt).foreach { y =>
+      val upTo = docs.where(col("lang") === "en" && col("year") <= y)
+      upTo.select(trainLine(col("toks")).as("line"))
+        .coalesce(1).write.mode("overwrite").text(s"$prefix-$y.txt")
+      if (docs.columns.contains("id"))
+        upTo.select(col("id").cast("string"))
+          .coalesce(1).write.mode("overwrite").text(s"$prefix-IDs-$y.txt")
+    }
+  }
+
+  /** S7 — the reference's Word2Vec file step (:4105-4137): per year, train
+    * on the cumulative `<prefix>-<y>.txt` corpus and save vectors as
+    * `<prefix>-cbow-<y>.vec` (the name [[leap2trendFiles]] loads back).
+    * Training itself is [[trainEmbeddings]] — see its documented
+    * CBOW-vs-skip-gram deviation. */
+  def word2vecFiles(spark: SparkSession, prefix: String,
+      yearStartFrom: Int, yearEndWith: Int, dim: Int = 100,
+      minCount: Int = 5, maxIter: Int = 1, seed: Long = 42L): Unit = {
+    (yearStartFrom to yearEndWith).foreach { y =>
+      val corpus = spark.read.text(s"$prefix-$y.txt")
+        .select(split(col("value"), "\\s+").as("toks"))
+      val model = new org.apache.spark.ml.feature.Word2Vec()
+        .setInputCol("toks").setOutputCol("vec")
+        .setVectorSize(dim).setWindowSize(5)
+        .setMinCount(minCount).setMaxIter(maxIter).setSeed(seed)
+        .fit(corpus)
+      saveVecFile(
+        model.getVectors.select(col("word").as("phrase"),
+          vecToArray(col("vector")).as("vec")),
+        s"$prefix-cbow-$y.vec")
+    }
+  }
+
+  /** The reference's file-driven Leap2Trend loop (:4237-4331) replayed
+    * over the same file layout: per year load `<prefix>-cbow-<y>.vec` +
+    * `<prefix>-<y>.txt`, filter to high-frequency phrases, rank pairwise
+    * cosine neighbors, join against the previous year's ranks, and write
+    * `<prefix>-jumpranking-<y>.csv`. A user of the reference's file
+    * workflow can run this verbatim. */
+  def leap2trendFiles(spark: SparkSession, prefix: String,
+      yearStartFrom: Int, yearEndWith: Int, minFreq: Int, minJump: Int,
+      dim: Int = 100): Unit = {
+    require(minJump >= 1,
+      "minJump >= 1 required: missing pairs default to rank 0 in the " +
+        "reference, which the inner join reproduces only for positive jumps")
+    val years = (yearStartFrom to yearEndWith)
+    val vectors = years.map { y =>
+      val high = loadTrainFreqs(spark, s"$prefix-$y.txt")
+        .where(col("freq") >= minFreq).select("phrase")
+      loadVecFile(spark, s"$prefix-cbow-$y.vec", y, dim)
+        .join(high, Seq("phrase"), "left_semi")
+    }.reduce(_ union _)
+    val ranks = simRanksByYear(vectors).localCheckpoint(true)
+    years.foreach { y =>
+      saveJumpRanking(
+        rankJumps(ranks, minJump).where(col("year") === y), prefix, y)
+    }
   }
 }
 

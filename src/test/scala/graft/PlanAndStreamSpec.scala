@@ -52,6 +52,23 @@ class PlanSpec extends SparkSpec {
       plan.take(800))
   }
 
+  test("vocab id assignment has no single-partition exchange or global window") {
+    val docs = (0L until 200L).map(d => (d, s"w${d % 7} common w${d % 13} tail$d"))
+      .toDF("doc", "text")
+    val toks = graft.corpus.Corpus.tokens(docs, "doc", "text")
+    val v = graft.corpus.Corpus.vocab(toks)
+    v.collect()
+    val plan = v.queryExecution.executedPlan.toString
+    // the old implementation funneled every term through
+    // `Window.orderBy(...)` = Exchange SinglePartition; the zipWithIndex
+    // rewrite must never do that
+    assert(!plan.contains("SinglePartition"), plan.take(1200))
+    assert(!plan.contains("Window"), plan.take(1200))
+    // ids are still the dense first-seen order (0..n-1)
+    val ids = v.select("word").as[Int].collect().sorted
+    assert(ids.toSeq == (0 until ids.length))
+  }
+
   test("PageRank superstep: cached src-partitioned edges are not re-shuffled") {
     val pages = Pages.synthesize(spark, 2000, 42L, 8)
     val (_, edges) = graft.ingest.Graphs.buildGraph(pages)

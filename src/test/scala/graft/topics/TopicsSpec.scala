@@ -54,6 +54,50 @@ class TopicsSpec extends SparkSpec {
       == m2.assignments.as[(Long, Int)].collect().toMap)
   }
 
+  test("GSDMM entropy matches a literal sequential port") {
+    val k = 2; val alpha = 0.1; val beta = 0.01; val nw = 12
+    val m = new GSDMM(k, alpha, beta, seed = 7L).train(spark, bow(4), nw, numIters = 3)
+    val got = m.entropy(spark)
+    // literal port of ComputeEntropy (:1888-1917) + probTopicOfDoc
+    // (:1711-1743) over the trained counters
+    val docsArr = m.docs.select("doc", "words", "nWords", "topic")
+      .as[(Long, Seq[(Int, Int)], Int, Int)].collect()
+    val nd = m.numDocs
+    var entropy = 0.0
+    docsArr.foreach { case (_, ws, nInDoc, kOld) =>
+      val probs = (0 until k).map { idxK =>
+        var dct = m.topicDocCount(idxK).toDouble
+        if (idxK == kOld) dct -= 1
+        val docPart = (dct + alpha) / (nd - 1.0 + alpha * k)
+        var tws = m.topicWordSum(idxK).toDouble
+        if (idxK == kOld) tws -= nInDoc
+        var wordPart = 1.0
+        var idxWordInDoc = 0
+        ws.foreach { case (w, cnt) =>
+          var wct = m.topicWordCount.getOrElse((idxK, w), 0L).toDouble
+          if (idxK == kOld) wct -= cnt
+          var j = 0
+          while (j < cnt) {
+            wordPart *= (wct + beta + j) / (tws + beta * nw + idxWordInDoc)
+            idxWordInDoc += 1
+            j += 1
+          }
+        }
+        docPart * wordPart
+      }
+      val s = probs.sum
+      var e = 0.0
+      if (s > 0.0) probs.foreach { p0 =>
+        val p = p0 / s
+        if (p != 0.0) e -= p * math.log(p)
+      }
+      entropy += e / nd
+    }
+    assert(math.abs(got - entropy) < 1e-9, s"got=$got want=$entropy")
+    // relative entropy normalizes by ln(k)
+    assert(math.abs(m.relativeEntropy(spark) - entropy / math.log(k)) < 1e-9)
+  }
+
   test("GSDMM clusters the planted topics (one topic per doc)") {
     val m = new GSDMM(2, alpha = 0.1, beta = 0.02, seed = 42L)
       .train(spark, bow(4), 12, numIters = 12)
