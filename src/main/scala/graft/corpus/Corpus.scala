@@ -97,13 +97,24 @@ object Corpus {
     (out, missing)
   }
 
+  /** Drop words whose document frequency exceeds `maxDf` (0 = keep all).
+    * The SetPairFilter philosophy (SURVEY §4): sparsify BEFORE any O(d²)
+    * pair enumeration — one hot word in every doc otherwise quadratically
+    * dominates every same-doc pair join at web scale. */
+  def capDf(bow: DataFrame, maxDf: Long): DataFrame =
+    if (maxDf <= 0L) bow
+    else bow.join(docFreqs(bow).where(col("df") > maxDf).select("word"),
+      Seq("word"), "left_anti")
+
   /** A2/A3 — GetConcurrences: Σ_docs cnt1*cnt2 over same-doc word pairs,
     * `w1 < w2` triangular enumeration (CitationGraphs.go:214-294). The
     * self-join shuffles once on `doc`; the pair aggregation is a map-side
-    * combinable hash agg. */
-  def concurrences(bow: DataFrame): DataFrame = {
-    val a = bow.select(col("doc"), col("word").as("w1"), col("cnt").as("c1"))
-    val b = bow.select(col("doc"), col("word").as("w2"), col("cnt").as("c2"))
+    * combinable hash agg. `maxDf` (default off — exact reference
+    * semantics) caps per-word document frequency before the pair join. */
+  def concurrences(bow: DataFrame, maxDf: Long = 0L): DataFrame = {
+    val capped = capDf(bow, maxDf)
+    val a = capped.select(col("doc"), col("word").as("w1"), col("cnt").as("c1"))
+    val b = capped.select(col("doc"), col("word").as("w2"), col("cnt").as("c2"))
     a.join(b, "doc")
       .where(col("w1") < col("w2"))
       .groupBy("w1", "w2")
@@ -112,7 +123,8 @@ object Corpus {
 
   /** A4 — GetDocConcurrences: # distinct docs containing both words
     * (CitationGraphs.go:835-928). */
-  def docConcurrences(bow: DataFrame): DataFrame = {
+  def docConcurrences(bow0: DataFrame, maxDf: Long = 0L): DataFrame = {
+    val bow = capDf(bow0, maxDf)
     val a = bow.select(col("doc"), col("word").as("w1"))
     val b = bow.select(col("doc"), col("word").as("w2"))
     a.join(b, "doc")
@@ -137,7 +149,8 @@ object Corpus {
 
   /** A3 — CorpusX.GetConcurrences (CitationGraphs.go:740-830): same-doc
     * pairs restricted to DIFFERENT word groups. */
-  def concurrencesX(bowX: DataFrame): DataFrame = {
+  def concurrencesX(bowX0: DataFrame, maxDf: Long = 0L): DataFrame = {
+    val bowX = capDf(bowX0, maxDf)
     val a = bowX.select(col("doc"), col("grp").as("g1"), col("word").as("w1"),
       col("cnt").as("c1"))
     val b = bowX.select(col("doc"), col("grp").as("g2"), col("word").as("w2"),

@@ -39,7 +39,14 @@ object ConnectedComponents {
       maxIters: Int = 100,
       checkpointTable: String = null): DataFrame = {
     val ckpt = Option(checkpointTable).filter(_.nonEmpty)
-    val sym = symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    // symmetrize ends in distinct() = hash partitioning on (src, dst),
+    // which does NOT satisfy the per-iteration join's clustering on src —
+    // without the explicit src repartition every superstep re-shuffles
+    // the full 2|E| edge table. Partition+sort once, cache, reuse.
+    val sym = symmetrize(edges)
+      .repartition(col("src"))
+      .sortWithinPartitions("src", "dst")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val vertices = sym.select(col("src").as("vid")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 

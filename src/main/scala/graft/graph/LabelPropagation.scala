@@ -33,7 +33,12 @@ object LabelPropagation {
       seedLabels: DataFrame = null, // (vid, label); default = vid
       checkpointTable: String = null): DataFrame = {
     val ckpt = Option(checkpointTable).filter(_.nonEmpty)
+    // src-partition + sort ONCE before caching (CSR layout): distinct()'s
+    // (src,dst) hash partitioning would force a full edge re-shuffle in
+    // every iteration's join on src
     val sym = ConnectedComponents.symmetrize(edges)
+      .repartition(col("src"))
+      .sortWithinPartitions("src", "dst")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val vertices = sym.select(col("src").as("vid")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -54,11 +54,16 @@ object PageRank {
 
     val ckpt = Option(checkpointTable).filter(_.nonEmpty)
 
-    // hash-partition edges by src ONCE and cache: InMemoryRelation preserves
-    // outputPartitioning, so every superstep's `edges ⋈ ranks on src` skips
-    // the edge-side exchange (the dominant shuffle at web scale).
+    // hash-partition edges by src ONCE, sort within partitions (the CSR
+    // block layout), and cache: InMemoryRelation preserves BOTH
+    // outputPartitioning and outputOrdering, so every superstep's
+    // `edges ⋈ ranks on src` skips the edge-side exchange AND the
+    // edge-side sort (a sort-merge join would otherwise re-sort all |E|
+    // cached rows per superstep — the dominant per-superstep cost at
+    // web scale; only the |V|-row ranks side sorts).
     val e = edges.select(col("src"), col("dst"))
       .repartition(col("src"))
+      .sortWithinPartitions("src", "dst")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val vertices = e.select(col("src").as("vid"))
       .union(e.select(col("dst").as("vid"))).distinct()
@@ -91,11 +96,6 @@ object PageRank {
       val t0 = System.nanoTime()
       val r = withDeg(ranks)
 
-      val danglingMass =
-        if (!hasDanglers) 0.0
-        else r.where(col("outDeg") === 0)
-          .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
-
       val contribs = e
         .join(r.where(col("outDeg") > 0).withColumnRenamed("vid", "src"), "src")
         .select(col("dst").as("vid"), (col("rank") / col("outDeg")).as("c"))
@@ -107,15 +107,32 @@ object PageRank {
         if (kahan) contribs.groupBy("vid").agg(KahanSum.column(col("c")).as("inMass"))
         else contribs.groupBy("vid").agg(sum(col("c")).as("inMass"))
 
-      val newRanks = vertices
-        .join(summed, Seq("vid"), "left")
-        .na.fill(0.0, Seq("inMass"))
-        .select(col("vid"),
-          (lit((1.0 - damping) / n)
-            + lit(damping) * (col("inMass") + lit(danglingMass / n))).as("rank"))
-        // truncate lineage every superstep: without this the logical plan
-        // (and planning time) grows without bound across iterations
-        .localCheckpoint(true)
+      // Dangling mass WITHOUT a separate per-superstep job: rank mass is
+      // conserved at 1, so Σ_dangling rank = 1 - Σ_v inMass. The 1-row
+      // total crossJoins into the rank update (broadcast NLJ) and its
+      // aggregate reads the SAME contribution shuffle (exchange reuse) —
+      // one job per superstep instead of two. Dangler-free graphs skip
+      // even that branch.
+      val newRanks0 =
+        if (!hasDanglers)
+          vertices.join(summed, Seq("vid"), "left")
+            .na.fill(0.0, Seq("inMass"))
+            .select(col("vid"),
+              (lit((1.0 - damping) / n)
+                + lit(damping) * col("inMass")).as("rank"))
+        else {
+          val totals = summed
+            .agg(coalesce(sum(col("inMass")), lit(0.0)).as("totalIn"))
+          vertices.join(summed, Seq("vid"), "left")
+            .na.fill(0.0, Seq("inMass"))
+            .crossJoin(totals)
+            .select(col("vid"),
+              (lit((1.0 - damping) / n) + lit(damping)
+                * (col("inMass") + (lit(1.0) - col("totalIn")) / n)).as("rank"))
+        }
+      // truncate lineage every superstep: without this the logical plan
+      // (and planning time) grows without bound across iterations
+      val newRanks = newRanks0.localCheckpoint(true)
 
       // convergence check costs one extra join+agg per superstep; skip it
       // entirely for fixed-iteration runs (tol < 0)
@@ -126,6 +143,12 @@ object PageRank {
 
       val secs = (System.nanoTime() - t0) / 1e9
       ckpt.foreach { t =>
+        // metrics-only dangling mass (checkpointed runs pay the extra
+        // 1-job cost for the lineage record; the hot path above does not)
+        val danglingMass =
+          if (!hasDanglers) 0.0
+          else withDeg(ranks).where(col("outDeg") === 0)
+            .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
         TableIO.commit(newRanks, t, step,
           Map("delta" -> delta, "danglingMass" -> danglingMass,
             "superstepSecs" -> secs, "vertices" -> n.toDouble))

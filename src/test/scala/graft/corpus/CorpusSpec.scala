@@ -51,6 +51,23 @@ class CorpusSpec extends SparkSpec {
     assert(got == brute)
   }
 
+  test("maxDf cap drops hot words from pair enumeration") {
+    val (bow, v) = Corpus.build(docs)
+    val vm = v.as[(String, Int)].collect().toMap
+    // "the" appears in 3 docs; cap at 2 removes every pair touching it
+    val capped = Corpus.concurrences(bow, maxDf = 2)
+      .as[(Int, Int, Long)].collect()
+    assert(capped.nonEmpty)
+    assert(!capped.exists { case (a, b, _) => a == vm("the") || b == vm("the") })
+    // uncapped result (default) still contains "the" pairs
+    val full = Corpus.concurrences(bow).as[(Int, Int, Long)].collect()
+    assert(full.exists { case (a, b, _) => a == vm("the") || b == vm("the") })
+    // non-hot pairs are identical between the two
+    val cappedMap = capped.map { case (a, b, c) => (a, b) -> c }.toMap
+    full.filter { case (a, b, _) => a != vm("the") && b != vm("the") }
+      .foreach { case (a, b, c) => assert(cappedMap((a, b)) == c) }
+  }
+
   test("docConcurrences counts distinct docs per pair") {
     val (bow, v) = Corpus.build(docs)
     val vm = v.as[(String, Int)].collect().toMap
