@@ -78,6 +78,34 @@ object Bench {
       f""","scaling":{"edges_per_sec_8":$eps8%.1f,"edges_per_sec_$cpus":$edgesPerSec%.1f,"cores_ratio":${cpus / 8},"efficiency":$efficiency%.4f}"""
     } else ""
 
+    // CPU-pinned subprocess campaign (the round-2+ methodology: each leg a
+    // taskset-pinned JVM with proportional heap — see BENCH.md). Default 1
+    // interleaved pass at 45M edges to keep bench wall-clock bounded; the
+    // committed multi-pass campaign (tools/scaling_pinned_r3.json, produced
+    // by `runMain graft.ScalingProbe campaign`) is inlined alongside so the
+    // ≥5-run median ships in this JSON too.
+    val pinnedPasses =
+      sys.env.getOrElse("SPARK_GRAFT_PINNED_PASSES", "1").toInt
+    val pinnedPages =
+      sys.env.getOrElse("SPARK_GRAFT_PINNED_PAGES", "10000000").toLong
+    val pinnedJson =
+      if (scaling && pinnedPasses > 0) {
+        val buf = new java.io.ByteArrayOutputStream()
+        val median = Console.withOut(new java.io.PrintStream(buf)) {
+          ScalingProbe.pinnedCampaign(pinnedPages, 8, cpus, prIters,
+            pinnedPasses, reps = 2)
+        }
+        val line = buf.toString.linesIterator
+          .find(_.contains("pinned_campaign")).getOrElse("null")
+        if (median.isDefined) s""","scaling_pinned":$line""" else ""
+      } else ""
+    val campaignFile = new java.io.File("tools/scaling_pinned_r3.json")
+    val campaignJson =
+      if (campaignFile.exists()) {
+        val txt = scala.io.Source.fromFile(campaignFile).mkString.trim
+        if (txt.startsWith("{")) s""","scaling_campaign":$txt""" else ""
+      } else ""
+
     val qs = (results.map(r => (r._1, r._2)) :+ (s"pagerank_${prIters}steps" -> prSecs))
       .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val errs = results.collect { case (n, _, Some(m)) => s""""$n":"$m"""" }
@@ -86,6 +114,6 @@ object Bench {
       f""""variants":{"pagerank5_plain":$tPlain%.3f,"pagerank5_kahan":$tKahan%.3f,"salted_superstep":$tSalted%.3f}"""
     val total = results.map(_._2).sum + prSecs
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,$variants,"sf":"$sfDir","pagerank":{"edges":$edgesN,"supersteps":$prIters,"secs":$prSecs%.3f,"edges_per_sec":$edgesPerSec%.1f,"supersteps_per_hour":$superstepsPerHour%.1f}$scalingJson}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,$variants,"sf":"$sfDir","pagerank":{"edges":$edgesN,"supersteps":$prIters,"secs":$prSecs%.3f,"edges_per_sec":$edgesPerSec%.1f,"supersteps_per_hour":$superstepsPerHour%.1f}$scalingJson$pinnedJson$campaignJson}""")
   }
 }

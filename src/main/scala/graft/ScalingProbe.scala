@@ -31,19 +31,32 @@ object ScalingProbe {
     val pages = Pages.synthesize(spark, nPages, seed = 42L,
       partitions = spark.sparkContext.defaultParallelism)
     val (_, edges) = Graphs.buildGraph(pages)
-    val e = edges.cache()
-    val m = e.count()
+    // graph layout (repartition + CSR sort + cache + degree frame) is
+    // ingest work done ONCE and reused by every measured rep — the north
+    // metric (supersteps/hour, edges/sec) is steady-state superstep
+    // throughput over a prepared graph
+    val g = PageRank.prepare(spark, edges)
+    val m = g.edges.count()
     val kahan = sys.env.getOrElse("SPARK_GRAFT_KAHAN", "1") == "1"
+    // lineage-truncation cadence: supersteps chained per Spark job
+    // (PageRank stepsPerJob) — amortizes the per-job fixed cost that
+    // dominates the 4N leg's efficiency loss at small superstep counts
+    val spj = sys.env.getOrElse("SPARK_GRAFT_SPJ", "5").toInt
     // warm-up: 2 supersteps (JIT, codegen, cache priming)
-    PageRank.run(spark, e, maxIters = 2, tol = -1.0, kahan = kahan).ranks.count()
-    val secs = (0 until math.max(1, reps)).map { _ =>
+    PageRank.runPrepared(spark, g, maxIters = 2, tol = -1.0, kahan = kahan,
+      stepsPerJob = spj).ranks.count()
+    val times = (0 until math.max(1, reps)).map { _ =>
       val t0 = System.nanoTime()
-      PageRank.run(spark, e, maxIters = iters, tol = -1.0, kahan = kahan).ranks.count()
+      PageRank.runPrepared(spark, g, maxIters = iters, tol = -1.0,
+        kahan = kahan, stepsPerJob = spj).ranks.count()
       (System.nanoTime() - t0) / 1e9
-    }.min
+    }
+    if (sys.env.get("SPARK_GRAFT_PR_DEBUG").contains("1"))
+      println(times.map(t => f"$t%.2f").mkString("""{"rep_secs":[""", ",", "]}"))
+    g.unpersist()
     spark.stop()
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
-    (m, secs)
+    (m, times.min)
   }
 
   /** Single-level mode for CPU-pinned runs:
@@ -66,8 +79,87 @@ object ScalingProbe {
     println(f"""{"mode":"pinned","pages":$nPages,"edges":$m,"iters":$iters,"cores":$cores,"visible_cpus":$visible,"secs":$secs%.2f,"eps":$eps%.1f}""")
   }
 
+  // ---- CPU-pinned subprocess campaign --------------------------------------
+
+  /** JDK-17 module opens Spark needs outside spark-submit (mirrors
+    * build.sbt / JavaModuleOptions.defaultModuleOptions()). */
+  private val jdk17AddOpens: Seq[String] = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar"
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  /** Spawn ONE `taskset -c 0-(cores-1)`-pinned child JVM running the
+    * single-level `measure` mode with a cores-proportional heap — the
+    * faithful N-core-executor proxy (the whole child process, GC and netty
+    * included, sees exactly `cores` CPUs). Returns (edges, secs, eps). */
+  def pinnedRun(nPages: Long, cores: Int, iters: Int, reps: Int)
+      : Option[(Long, Double, Double)] = {
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val heapMb = cores * 1536 // 12g at 8 cores, 48g at 32 (r2 methodology)
+    val cmd = Seq("taskset", "-c", s"0-${cores - 1}", javaBin) ++
+      jdk17AddOpens ++ Seq(
+        s"-Xmx${heapMb}m", "-Dspark.ui.enabled=false",
+        "-Dspark.sql.session.timeZone=UTC", "-cp", cp,
+        "graft.ScalingProbe", "measure",
+        nPages.toString, cores.toString, iters.toString, reps.toString)
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    val p = pb.start()
+    val out = scala.io.Source.fromInputStream(p.getInputStream).mkString
+    p.waitFor()
+    val re =
+      """\{"mode":"pinned".*?"edges":(\d+).*?"secs":([0-9.]+),"eps":([0-9.]+)""".r
+    re.findFirstMatchIn(out).map(m =>
+      (m.group(1).toLong, m.group(2).toDouble, m.group(3).toDouble))
+  }
+
+  /** Interleaved pinned campaign: `passes` × (N-leg, 4N-leg) subprocess
+    * pairs, per-pass efficiency eps4N/(ratio·epsN), median + best over
+    * passes. Interleaving decorrelates multi-minute hypervisor noise
+    * phases from the level. Prints one JSON line and returns the median. */
+  def pinnedCampaign(nPages: Long, coresA: Int, coresB: Int, iters: Int,
+      passes: Int, reps: Int): Option[Double] = {
+    if (!new java.io.File("/usr/bin/taskset").exists()) return None
+    val runs = (0 until passes).flatMap { _ =>
+      for {
+        a <- pinnedRun(nPages, coresA, iters, reps)
+        b <- pinnedRun(nPages, coresB, iters, reps)
+      } yield (a, b)
+    }
+    if (runs.isEmpty) return None
+    val ratio = coresB.toDouble / coresA
+    val effs = runs.map { case ((_, _, epsA), (_, _, epsB)) => epsB / (ratio * epsA) }
+    val sorted = effs.sorted
+    val median =
+      if (sorted.size % 2 == 1) sorted(sorted.size / 2)
+      else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2
+    val edges = runs.head._1._1
+    val passJson = runs.zip(effs).map { case (((_, sA, eA), (_, sB, eB)), eff) =>
+      f"""{"secs_$coresA":$sA%.2f,"eps_$coresA":$eA%.1f,"secs_$coresB":$sB%.2f,"eps_$coresB":$eB%.1f,"efficiency":$eff%.4f}"""
+    }.mkString("[", ",", "]")
+    println(
+      f"""{"mode":"pinned_campaign","pages":$nPages,"edges":$edges,"iters":$iters,"cores":[$coresA,$coresB],"passes":${runs.size},"reps":$reps,"runs":$passJson,"efficiency_median":$median%.4f,"efficiency_best":${sorted.last}%.4f}""")
+    Some(median)
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.length > 0 && args(0) == "measure") return measureMain(args)
+    if (args.length > 0 && args(0) == "campaign") {
+      val nPages = if (args.length > 1) args(1).toLong else 10000000L
+      val cA = if (args.length > 2) args(2).toInt else 8
+      val cB = if (args.length > 3) args(3).toInt else 32
+      val iters = if (args.length > 4) args(4).toInt else 5
+      val passes = if (args.length > 5) args(5).toInt else 5
+      val reps = if (args.length > 6) args(6).toInt else 2
+      pinnedCampaign(nPages, cA, cB, iters, passes, reps)
+      return
+    }
     val nPages = if (args.length > 0) args(0).toLong else 1000000L
     val coresA = if (args.length > 1) args(1).toInt else 8
     val coresB = if (args.length > 2) args(2).toInt else 32

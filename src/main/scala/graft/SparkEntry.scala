@@ -352,7 +352,7 @@ object SparkEntry {
     "f_strong_pairs" -> ((s, dir) => {
       val (nodes, edges) = corpusGraph(s, dir, maxDocs = 120)
       CitationCorpus.stronglyConnectedPhrases(nodes, edges,
-          thresFreq = 4.0, thresRatio = 1.5)
+          thresFreq = 8.0, thresRatio = 3.0)
         .select(least(col("p1"), col("p2")).as("p1"),
           greatest(col("p1"), col("p2")).as("p2"),
           col("actual"), round(col("expected"), 6).as("expected"))
@@ -424,6 +424,60 @@ object SparkEntry {
       import sess.implicits._
       Seq(Metrics.randIndex(c1, c2)).toDF("ri")
         .select(round(col("ri"), 6).as("ri"))
+    }),
+    // CompareByARI (:3338-3400)
+    "m_ari" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val c1 = c.select(col("c_nationkey").cast("long").as("cid"),
+        col("c_custkey").as("member"))
+      val c2 = c.select(col("c_mktsegment").as("cid"), col("c_custkey").as("member"))
+      val sess = s
+      import sess.implicits._
+      Seq(Metrics.adjustedRandIndex(c1, c2)).toDF("ari")
+        .select(round(col("ari"), 6).as("ari"))
+    }),
+    // CompareByModularity (:3135-3202) over one-hot memberships — the O(n·d)
+    // algebraic rewrite cross-checked against DuckDB's closed form
+    "m_modularity" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+      val memb = c.select(col("c_custkey").as("nodeId"),
+        array(segs.map(g =>
+          when(col("c_mktsegment") === g, 1.0).otherwise(0.0)): _*).as("membership"))
+      val comm = c.select(col("c_nationkey").cast("long").as("cid"),
+        col("c_custkey").as("member"))
+      val sess = s
+      import sess.implicits._
+      Seq(Metrics.modularity(memb, comm)).toDF("modularity")
+        .select(round(col("modularity"), 6).as("modularity"))
+    }),
+    // GetEmergingTopicPublications (:3931-4013). Edges carry a ≥4-year
+    // citation lag so the cold→hot shape the scan looks for actually occurs
+    // in the synthetic graph (flat-rate edges never emerge).
+    "r_emerging_publications" -> ((s, dir) => {
+      val (nodes, edges0) = citationFromTestdata(s, dir)
+      val yrs = nodes.select(col("id"), col("year"))
+      val edges = edges0
+        .join(yrs.select(col("id"), col("year").as("citerYear")), "id")
+        .join(yrs.select(col("id").as("refId"), col("year").as("citedYear")), "refId")
+        .where(col("citerYear") >= col("citedYear") + 4)
+        .select("id", "refId")
+      CitationOps.emergingPublications(nodes, edges,
+          yearToday = 2001, yearRecent = 1998, yearFarAway = 1995,
+          lowThreshold = 0, highThreshold = 2)
+        .select(col("id"), col("year"))
+    }),
+    // GetEmergingTrends (:3869-3925): stemmed-label year histograms with
+    // the far/recent threshold prune ('trends N' stems to 'trend N')
+    "r_emerging_trends" -> ((s, dir) => {
+      val (nodes, _) = citationFromTestdata(s, dir)
+      val labels = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey").as("id"),
+          concat(lit("trends "), col("o_custkey") % 40).as("label"))
+      CitationOps.emergingTrends(nodes, labels,
+          yearToday = 2001, yearRecent = 1999, yearFarAway = 1995,
+          lowThreshold = 230, highThreshold = 150)
+        .select(col("label"), col("countFarAway"), col("countRecent"))
     })
   )
 
@@ -787,26 +841,49 @@ object SparkEntry {
         |  round(tf.tf * ln((SELECT n FROM nmain) / df.df), 6) AS weight
         |FROM tf JOIN df ON tf.phrase = df.phrase""".stripMargin,
 
+      // exact GetDocConcurrences loop semantics: count per (doc, group-
+      // occurrence of w1), directed with w1 = smaller FIRST-SEEN vocab id
+      // (:857-884, :3761-3769) — the SQL replicates vocab id assignment
+      // (first (doc,pos) occurrence order) and the ∃-over-other-groups dedup
       "f_strong_pairs" -> s"""
         |WITH ${candSql("WHERE doc_id < 120")},
-        |subp AS (
-        |  SELECT DISTINCT id, grp, s.t AS term
-        |  FROM (SELECT id, grp, string_split(phrase, ' ') AS ws FROM cands),
-        |    unnest(flatten(list_transform(range(1, len(ws)+1), i ->
-        |      list_transform(range(i, len(ws)+1),
-        |        j -> array_to_string(ws[i:j], ' '))))) AS s(t)),
+        |toksx AS (
+        |  SELECT id, grp, unnest(lst) AS term,
+        |    unnest(range(1, len(lst)+1)) AS sub_i
+        |  FROM (SELECT id, grp,
+        |      flatten(list_transform(range(1, len(ws)+1), i ->
+        |        list_transform(range(i, len(ws)+1),
+        |          j -> array_to_string(ws[i:j], ' ')))) AS lst
+        |    FROM (SELECT id, grp, string_split(phrase, ' ') AS ws FROM cands))),
+        |postoks AS (SELECT id, grp, term,
+        |    row_number() OVER (PARTITION BY id ORDER BY grp, sub_i) - 1 AS pos
+        |  FROM toksx),
+        |vocabx AS MATERIALIZED (
+        |  SELECT term, row_number() OVER (ORDER BY id, pos, term) - 1 AS wid
+        |  FROM (SELECT term, id, pos,
+        |      row_number() OVER (PARTITION BY term ORDER BY id, pos) AS rn
+        |    FROM postoks)
+        |  WHERE rn = 1),
+        |subp AS MATERIALIZED (SELECT DISTINCT id, grp, term FROM postoks),
         |nd AS (SELECT count(*)::DOUBLE AS nd FROM docsrc),
-        |dfreq AS (SELECT term, count(DISTINCT id) AS df FROM subp GROUP BY term),
-        |pairs AS (
-        |  SELECT a.term AS q1, b.term AS q2, count(DISTINCT a.id) AS docs
-        |  FROM subp a JOIN subp b
-        |    ON a.id = b.id AND a.grp <> b.grp AND a.term < b.term
-        |  GROUP BY 1, 2)
-        |SELECT q1 AS p1, q2 AS p2, docs::DOUBLE AS actual,
+        |dfreq AS MATERIALIZED (
+        |  SELECT term, count(DISTINCT id) AS df FROM subp GROUP BY term),
+        |subpw AS (SELECT s.id, s.grp, v.wid
+        |  FROM subp s JOIN vocabx v ON s.term = v.term),
+        |candp AS (
+        |  SELECT DISTINCT a.wid AS w1, b.wid AS w2, a.id, a.grp
+        |  FROM subpw a JOIN subpw b
+        |    ON a.id = b.id AND a.grp <> b.grp AND a.wid < b.wid),
+        |pairs AS MATERIALIZED (SELECT w1, w2, count(*)::DOUBLE AS freq
+        |  FROM candp GROUP BY 1, 2 HAVING count(*) >= 8)
+        |SELECT least(va.term, vb.term) AS p1, greatest(va.term, vb.term) AS p2,
+        |  freq AS actual,
         |  round(d1.df / (SELECT nd FROM nd) * d2.df / (SELECT nd FROM nd)
         |    * (SELECT nd FROM nd), 6) AS expected
-        |FROM pairs JOIN dfreq d1 ON q1 = d1.term JOIN dfreq d2 ON q2 = d2.term
-        |WHERE docs >= 4 AND docs >= 1.5 *
+        |FROM pairs
+        |JOIN vocabx va ON w1 = va.wid JOIN vocabx vb ON w2 = vb.wid
+        |JOIN dfreq d1 ON va.term = d1.term JOIN dfreq d2 ON vb.term = d2.term
+        |WHERE freq >= 3.0 *
         |  (d1.df / (SELECT nd FROM nd) * d2.df / (SELECT nd FROM nd)
         |    * (SELECT nd FROM nd))""".stripMargin,
 
@@ -881,6 +958,150 @@ object SparkEntry {
         |SELECT c1.cid AS cid1, c2.cid AS cid2, count(*) AS nij
         |FROM c1 JOIN c2 ON c1.member = c2.member
         |GROUP BY 1, 2""".stripMargin,
+
+      "m_ari" -> """
+        |WITH c1 AS (SELECT c_nationkey::BIGINT AS cid, c_custkey AS member FROM customer),
+        |c2 AS (SELECT c_mktsegment AS cid, c_custkey AS member FROM customer),
+        |n AS (SELECT count(*)::DOUBLE AS n FROM customer),
+        |idx AS (SELECT sum(nij*(nij-1)/2.0) AS v FROM (
+        |  SELECT count(*)::DOUBLE AS nij FROM c1 JOIN c2 ON c1.member = c2.member
+        |  GROUP BY c1.cid, c2.cid)),
+        |pi AS (SELECT sum(sz*(sz-1)/2.0) AS v FROM (
+        |  SELECT count(*)::DOUBLE AS sz FROM c1 GROUP BY cid)),
+        |pj AS (SELECT sum(sz*(sz-1)/2.0) AS v FROM (
+        |  SELECT count(*)::DOUBLE AS sz FROM c2 GROUP BY cid)),
+        |pn AS (SELECT n*(n-1)/2.0 AS v FROM n)
+        |SELECT round(((SELECT v FROM idx)
+        |    - (SELECT v FROM pi)*(SELECT v FROM pj)/(SELECT v FROM pn))
+        |  / (0.5*((SELECT v FROM pi)+(SELECT v FROM pj))
+        |    - (SELECT v FROM pi)*(SELECT v FROM pj)/(SELECT v FROM pn)), 6) AS ari""".stripMargin,
+
+      // closed form of the O(n·d) modularity rewrite: with one-hot unit
+      // memberships, v_c = per-(community,category) counts, S = category
+      // totals, total = ||S||^2
+      "m_modularity" -> """
+        |WITH cust AS (SELECT c_custkey AS id, c_nationkey::BIGINT AS cid,
+        |    c_mktsegment AS seg FROM customer),
+        |cnt AS (SELECT seg, count(*)::DOUBLE AS n FROM cust GROUP BY 1),
+        |tot AS (SELECT sum(n*n) AS t FROM cnt),
+        |nck AS (SELECT cid, seg, count(*)::DOUBLE AS m FROM cust GROUP BY 1, 2),
+        |perc AS (SELECT cid, sum(m*m) AS term1, sum(m * cnt.n) AS sc
+        |  FROM nck JOIN cnt USING (seg) GROUP BY cid)
+        |SELECT round(sum(term1 - sc*sc / (SELECT t FROM tot))
+        |  / (SELECT t FROM tot), 6) AS modularity
+        |FROM perc""".stripMargin,
+
+      // GetHotTopicPublications reduced form: output is (id, year) only, so
+      // the dense-histogram scan collapses to the two cells it reads —
+      // cites in the publication year and the year after (noBackward is
+      // implied: citeYear ∈ {year, year+1} ≥ year)
+      "r_hot_publications" -> """
+        |WITH e AS (SELECT DISTINCT l_orderkey AS citer, l_partkey % 15000 AS cited
+        |  FROM lineitem WHERE l_orderkey <> l_partkey % 15000),
+        |n AS (SELECT o_orderkey AS id, year(o_orderdate) AS yr FROM orders),
+        |main AS (SELECT id, yr FROM n WHERE yr BETWEEN 1995 AND 2001),
+        |c AS (SELECT m.id, m.yr,
+        |    sum(CASE WHEN n2.yr = m.yr THEN 1 ELSE 0 END) AS c0,
+        |    sum(CASE WHEN n2.yr = m.yr + 1 THEN 1 ELSE 0 END) AS c1
+        |  FROM main m
+        |  LEFT JOIN e ON e.cited = m.id
+        |  LEFT JOIN n n2 ON n2.id = e.citer
+        |  GROUP BY 1, 2)
+        |SELECT id, yr::BIGINT AS year FROM c
+        |WHERE c0 >= 2 OR (yr + 1 <= 2001 AND c1 >= 2)""".stripMargin,
+
+      // full unrolled cold-run scan (:3963-4006) over the 1995..2001 dense
+      // histogram as a DuckDB list; coldYear via first-blocking-year
+      "r_emerging_publications" -> """
+        |WITH n AS (SELECT o_orderkey AS id, year(o_orderdate) AS yr FROM orders),
+        |e0 AS (SELECT DISTINCT l_orderkey AS citer, l_partkey % 15000 AS cited
+        |  FROM lineitem WHERE l_orderkey <> l_partkey % 15000),
+        |e AS (SELECT e0.citer, e0.cited FROM e0
+        |  JOIN n nc ON nc.id = e0.cited JOIN n nr ON nr.id = e0.citer
+        |  WHERE nr.yr >= nc.yr + 4),
+        |main AS (SELECT id, yr FROM n WHERE yr BETWEEN 1995 AND 2001),
+        |hists AS (SELECT m.id, m.yr, [
+        |    sum(CASE WHEN n2.yr = 1995 THEN 1 ELSE 0 END),
+        |    sum(CASE WHEN n2.yr = 1996 THEN 1 ELSE 0 END),
+        |    sum(CASE WHEN n2.yr = 1997 THEN 1 ELSE 0 END),
+        |    sum(CASE WHEN n2.yr = 1998 THEN 1 ELSE 0 END),
+        |    sum(CASE WHEN n2.yr = 1999 THEN 1 ELSE 0 END),
+        |    sum(CASE WHEN n2.yr = 2000 THEN 1 ELSE 0 END),
+        |    sum(CASE WHEN n2.yr = 2001 THEN 1 ELSE 0 END)] AS h
+        |  FROM main m
+        |  LEFT JOIN e ON e.cited = m.id
+        |  LEFT JOIN n n2 ON n2.id = e.citer AND n2.yr BETWEEN 1995 AND 2001
+        |  GROUP BY 1, 2),
+        |scan AS (SELECT id, yr, h,
+        |    yr + list_min(list_filter(range(1, 2001 - yr + 1),
+        |      d -> yr + d > 2000 OR h[yr + d - 1995 + 1] > 0)) - 1 AS coldYear
+        |  FROM hists)
+        |SELECT id, yr::BIGINT AS year FROM scan
+        |WHERE h[yr - 1995 + 1] <= 0
+        |  AND coldYear - yr >= 2
+        |  AND coldYear >= 1998 AND coldYear < 2001
+        |  AND list_sum(h[coldYear - 1995 + 2 : 7]) / (2001 - coldYear) >= 2""".stripMargin,
+
+      "r_emerging_trends" -> """
+        |WITH n AS (SELECT o_orderkey AS id, year(o_orderdate) AS yr,
+        |    'trend ' || (o_custkey % 40) AS label FROM orders),
+        |m AS (SELECT label, yr FROM n WHERE yr BETWEEN 1995 AND 2001),
+        |a AS (SELECT label,
+        |    sum(CASE WHEN yr < 1999 THEN 1 ELSE 0 END)::BIGINT AS countFarAway,
+        |    sum(CASE WHEN yr >= 1999 THEN 1 ELSE 0 END)::BIGINT AS countRecent
+        |  FROM m GROUP BY 1)
+        |SELECT label, countFarAway, countRecent FROM a
+        |WHERE countFarAway < 230 AND countRecent >= 150""".stripMargin,
+
+      "t_quality" -> """
+        |WITH t AS (SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      x -> len(x) > 0) AS toks,
+        |    length(text) AS nc
+        |  FROM documents),
+        |q AS (SELECT doc_id,
+        |    len(toks) AS n_tokens,
+        |    CASE WHEN len(toks) > 0 THEN
+        |      len(list_filter(toks, x -> list_contains(
+        |        ['the','and','of','to','in','is','that','it','for','was','with','a'],
+        |        lower(x))))::DOUBLE / len(toks)
+        |      ELSE 0.0 END AS stopword_ratio,
+        |    CASE WHEN nc > 0 THEN
+        |      (nc - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE / nc
+        |      ELSE 0.0 END AS punct_ratio
+        |  FROM t)
+        |SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+        |  round(stopword_ratio, 6) AS stopword_ratio,
+        |  round(greatest(0.0, least(1.0,
+        |    0.5 * least(stopword_ratio * 4, 1.0)
+        |    + 0.3 * least(n_tokens / 50.0, 1.0)
+        |    + 0.2 * (1.0 - least(punct_ratio * 5, 1.0)))), 6) AS quality_score
+        |FROM q""".stripMargin,
+
+      // argmax with first-wins over sorted language keys (de,en,es,fr);
+      // 'und' when no stopword of any language hits
+      "t_langid" -> """
+        |WITH t AS (SELECT doc_id,
+        |    list_transform(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      x -> len(x) > 0), x -> lower(x)) AS toks
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |  len(list_filter(toks, x -> list_contains(
+        |    ['der','die','das','und','ist','nicht','ein','mit','von','zu','den'], x))) AS de,
+        |  len(list_filter(toks, x -> list_contains(
+        |    ['the','and','of','to','in','is','that','it','for','was','with','a'], x))) AS en,
+        |  len(list_filter(toks, x -> list_contains(
+        |    ['el','la','los','y','es','no','una','que','en','por','con'], x))) AS es,
+        |  len(list_filter(toks, x -> list_contains(
+        |    ['le','la','les','et','est','pas','une','des','que','dans','pour'], x))) AS fr
+        |  FROM t)
+        |SELECT doc_id, CASE
+        |  WHEN greatest(de, en, es, fr) = 0 THEN 'und'
+        |  WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+        |  WHEN en >= es AND en >= fr THEN 'en'
+        |  WHEN es >= fr THEN 'es'
+        |  ELSE 'fr' END AS lang_pred
+        |FROM h""".stripMargin,
 
       "m_rand_index" -> """
         |WITH c1 AS (SELECT c_nationkey::BIGINT AS cid, c_custkey AS member FROM customer),

@@ -48,7 +48,15 @@ object Corpus {
       .sortWithinPartitions("fd", "fp", "term")
       .select("term").as[String]
       .rdd.zipWithIndex()
-      .map { case (term, idx) => (term, idx.toInt) }
+      .map { case (term, idx) =>
+        // word ids are INT downstream (bow/topic tables); past 2^31 terms
+        // the cast would wrap negative — fail loudly at the scale this
+        // path advertises instead of silently corrupting ids
+        require(idx <= Int.MaxValue,
+          s"vocab overflows Int word ids at term index $idx; widen the " +
+            "word id column to LONG before training at this vocabulary size")
+        (term, idx.toInt)
+      }
       .toDF("term", "word")
   }
 
@@ -161,16 +169,26 @@ object Corpus {
       .agg(sum(col("c1") * col("c2")).as("cooc"))
   }
 
-  /** A4 — CorpusX.GetDocConcurrences (:835-928): # distinct docs where the
-    * two words co-occur across different groups (visited-set dedup ->
-    * countDistinct). */
+  /** A4 — CorpusX.GetDocConcurrences (:835-928), exact loop semantics:
+    * the reference opens a FRESH visited set per (doc, group-occurrence of
+    * w1), so each group g1 containing w1 contributes one count for every
+    * w2 present in some OTHER group of the same doc. A sub-phrase sitting
+    * in k candidate groups of one doc therefore adds k, not 1 — the count
+    * is per `(doc, g1)` occurrence, and DIRECTED: `docs(w1→w2)` tallies
+    * the occurrences of w1's groups, which differs from `docs(w2→w1)`
+    * when the two words' group multiplicities differ. Output carries both
+    * directions; consumers pick the orientation the reference reads
+    * (findStronglyConnectedPhrases uses the smaller vocab id as w1). */
   def docConcurrencesX(bowX: DataFrame): DataFrame = {
     val a = bowX.select(col("doc"), col("grp").as("g1"), col("word").as("w1"))
     val b = bowX.select(col("doc"), col("grp").as("g2"), col("word").as("w2"))
     a.join(b, "doc")
-      .where(col("w1") < col("w2") && col("g1") =!= col("g2"))
+      .where(col("w1") =!= col("w2") && col("g1") =!= col("g2"))
+      // ∃-quantify over g2: one count per (doc, g1) regardless of how many
+      // other groups carry w2 (the reference's visited-set dedup)
+      .select(col("doc"), col("g1"), col("w1"), col("w2")).distinct()
       .groupBy("w1", "w2")
-      .agg(countDistinct(col("doc")).as("docs"))
+      .agg(count(lit(1)).as("docs"))
   }
 
   /** A8 — document lengths. */

@@ -33,11 +33,18 @@ object ConnectedComponents {
       .distinct()
   }
 
+  /** @param checkpointEvery TableIO commit cadence in supersteps (with
+    *                        checkpointTable set): an executor loss costs at
+    *                        most `checkpointEvery` supersteps of recompute —
+    *                        `localCheckpoint` blocks are executor-local and
+    *                        die with the executor, so long runs on a real
+    *                        cluster need a reliable-commit cadence. */
   def hashMin(
       spark: SparkSession,
       edges: DataFrame,
       maxIters: Int = 100,
-      checkpointTable: String = null): DataFrame = {
+      checkpointTable: String = null,
+      checkpointEvery: Int = 1): DataFrame = {
     val ckpt = Option(checkpointTable).filter(_.nonEmpty)
     // symmetrize ends in distinct() = hash partitioning on (src, dst),
     // which does NOT satisfy the per-iteration join's clustering on src —
@@ -72,8 +79,13 @@ object ConnectedComponents {
         .localCheckpoint(true) // truncate lineage per superstep
       changed = next.where(col("component") =!= col("prev")).count()
       val result = next.select("vid", "component")
-      ckpt.foreach(t => TableIO.commit(result, t, step,
-        Map("changed" -> changed.toDouble)))
+      // commit on the cadence, plus always at convergence (the final state
+      // must land durably even when the cadence would skip it)
+      ckpt.foreach { t =>
+        if ((step - startStep) % math.max(1, checkpointEvery) == 0 ||
+            changed == 0L || step == maxIters - 1)
+          TableIO.commit(result, t, step, Map("changed" -> changed.toDouble))
+      }
       labels.unpersist()
       labels = result
       step += 1

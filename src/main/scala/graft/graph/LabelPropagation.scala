@@ -26,12 +26,17 @@ import graft.io.TableIO
   */
 object LabelPropagation {
 
+  /** @param checkpointEvery TableIO commit cadence in supersteps (with
+    *                        checkpointTable set) — see
+    *                        [[ConnectedComponents.hashMin]]. The final
+    *                        superstep always commits. */
   def run(
       spark: SparkSession,
       edges: DataFrame,
       numIters: Int = 10,
       seedLabels: DataFrame = null, // (vid, label); default = vid
-      checkpointTable: String = null): DataFrame = {
+      checkpointTable: String = null,
+      checkpointEvery: Int = 1): DataFrame = {
     val ckpt = Option(checkpointTable).filter(_.nonEmpty)
     // src-partition + sort ONCE before caching (CSR layout): distinct()'s
     // (src,dst) hash partitioning would force a full edge re-shuffle in
@@ -68,7 +73,11 @@ object LabelPropagation {
         .join(mode, Seq("vid"), "left")
         .select(col("vid"), coalesce(col("newLabel"), col("label")).as("label"))
         .localCheckpoint(true) // truncate lineage per superstep
-      ckpt.foreach(t => TableIO.commit(next, t, step, Map.empty))
+      ckpt.foreach { t =>
+        if ((step - startStep) % math.max(1, checkpointEvery) == 0 ||
+            step == numIters - 1)
+          TableIO.commit(next, t, step, Map.empty)
+      }
       labels.unpersist()
       labels = next
       step += 1

@@ -19,7 +19,11 @@ import graft.io.TableIO
   * Scale design:
   *  - edges stay in the CSR-blocked layout (range-partitioned by `src`,
   *    sorted within partitions) and are cached once; every superstep's
-  *    `edges ⋈ ranks on src` reuses that partitioning.
+  *    `edges ⋈ state on src` reuses that partitioning.
+  *  - vertex state carries `(vid, outDeg, rank)` so no per-superstep
+  *    degree join is needed; the cached `(vid, outDeg)` frame is
+  *    co-partitioned with the contribution aggregate, so the rank update
+  *    join is exchange-free.
   *  - contribution aggregation is a hash aggregate with map-side partial
   *    combine, so a hub's in-degree skew is bounded by #partitions rows at
   *    the reducer. Default sums are the codegen'd partial+final double sum
@@ -27,20 +31,88 @@ import graft.io.TableIO
   *    inside the 1e-6 gate); `kahan = true` switches to the compensated
   *    [[KahanSum]] aggregator (O(eps) error) at ~25% throughput cost when
   *    stricter reproducibility is wanted.
+  *  - `stepsPerJob = k` chains k supersteps lazily inside ONE Spark job
+  *    before truncating lineage (and checking convergence), amortizing the
+  *    per-job fixed cost — job scheduling, the |V|-row state
+  *    materialization, the convergence aggregate — k-fold. Each chained
+  *    superstep still runs its own contribution shuffle (that IS the
+  *    algorithm); only the driver-side bookkeeping is fused. Convergence
+  *    is then checked every k steps (delta spans the block), the standard
+  *    cadence trade for fixed-point iterations.
   *  - optional explicit hub salting (`saltThreshold`): out-edges of
   *    vertices with outDeg > threshold are pre-split into salted groups so
   *    a single src block never exceeds the threshold (AQE's skew join does
   *    not cover iterative self-joins well — SURVEY.md §4).
-  *  - every superstep checkpoints `(vid, rank)` + per-partition lineage +
-  *    metrics (delta, dangling mass, superstep seconds) via [[TableIO]];
-  *    [[run]] resumes mid-iteration from the latest committed snapshot.
+  *  - `checkpointEvery = c` commits `(vid, rank)` + per-partition lineage
+  *    + metrics (delta, dangling mass, superstep seconds) via [[TableIO]]
+  *    every c supersteps (evaluated at block boundaries); [[run]] resumes
+  *    mid-iteration from the latest committed snapshot. c = 1 (default) is
+  *    the north-rule "every superstep" cadence; long fixed-point runs on a
+  *    real cluster raise c so an executor loss costs at most c supersteps
+  *    of recompute instead of the whole run (localCheckpoint blocks are
+  *    executor-local and die with the executor).
   */
 object PageRank {
 
   final case class Result(ranks: DataFrame, supersteps: Int, delta: Double)
 
+  /** One-off CSR graph layout shared by any number of [[runPrepared]]
+    * invocations: edges hash-partitioned by src + sorted within partitions
+    * + cached, and the co-partitioned `(vid, outDeg)` frame. Building this
+    * is ingest work (one repartition shuffle + cache write over |E|), not
+    * superstep work — the north-rule metric (supersteps/hour, edges/sec)
+    * is steady-state iteration throughput over a prepared graph. */
+  final case class PreparedGraph(
+      edges: DataFrame, // (src, dst) CSR-partitioned + cached
+      vertDeg: DataFrame, // (vid, outDeg) co-partitioned + cached
+      n: Long,
+      hasDanglers: Boolean) {
+    def unpersist(): Unit = { edges.unpersist(); vertDeg.unpersist() }
+  }
+
+  def prepare(spark: SparkSession, edges: DataFrame): PreparedGraph = {
+    // AQE off for the layout too: AQE may coalesce REPARTITION_BY_COL, and
+    // the layout's partition count IS the superstep parallelism (and the
+    // partitioning every superstep join reuses) — it must be exactly
+    // spark.sql.shuffle.partitions, decided by the engine, not re-derived
+    // from small-sample sizes at runtime.
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try prepareInternal(spark, edges)
+    finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
+
+  private def prepareInternal(spark: SparkSession, edges: DataFrame): PreparedGraph = {
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src"))
+      .sortWithinPartitions("src", "dst")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val outDeg = e.groupBy(col("src").as("vid"))
+      .agg(count(lit(1)).as("outDeg"))
+    val vertices = e.select(col("src").as("vid"))
+      .union(e.select(col("dst").as("vid"))).distinct()
+    // (vid, outDeg) co-partitioned with every groupBy(vid) aggregate;
+    // outDeg 0 marks dangling vertices. Cached for the whole run — this is
+    // the only per-vertex frame any superstep joins against.
+    val vertDeg = vertices.join(outDeg, Seq("vid"), "left")
+      .na.fill(0L, Seq("outDeg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // one action: |V| and dangler count (dangler-free graphs skip the
+    // dangling-mass branch in every superstep)
+    val firstRow = vertDeg
+      .agg(count(lit(1)), sum(when(col("outDeg") === 0, 1L).otherwise(0L)))
+      .head()
+    PreparedGraph(e, vertDeg, firstRow.getLong(0), firstRow.getLong(1) > 0L)
+  }
+
   /** @param checkpointTable directory for TableIO superstep snapshots;
     *                        null/empty disables checkpointing.
+    * @param stepsPerJob     supersteps fused per Spark job (lineage
+    *                        truncation + convergence cadence); 1 = classic
+    *                        one-job-per-superstep.
+    * @param checkpointEvery TableIO snapshot cadence in supersteps (only
+    *                        with checkpointTable set); commits land on the
+    *                        first block boundary at or past each multiple.
     */
   def run(
       spark: SparkSession,
@@ -50,55 +122,70 @@ object PageRank {
       maxIters: Int = 50,
       checkpointTable: String = null,
       saltThreshold: Int = 0,
-      kahan: Boolean = false): Result = {
+      kahan: Boolean = false,
+      stepsPerJob: Int = 1,
+      checkpointEvery: Int = 1): Result = {
+
+    // AQE is scoped OFF for the kernel's internal queries: its stage cache
+    // misses the canonical equality between the dangling-total aggregate
+    // and the rank-update join, so with AQE on the contribution shuffle
+    // (the edge join + map-side combine — the whole superstep) executes
+    // TWICE per superstep on graphs with danglers; without AQE the total
+    // rides a ReusedExchange (asserted by PlanSpec). AQE also coalesces the
+    // contribution exchange at small sizes, destabilizing the 32-partition
+    // co-partitioning the next superstep's join relies on. Nothing AQE
+    // offers applies here: partition counts are hand-sized, skew is handled
+    // by salting, and no superstep join is broadcastable at web scale.
+    val g = prepare(spark, edges)
+    try runPrepared(spark, g, damping, tol, maxIters, checkpointTable,
+      kahan, stepsPerJob, checkpointEvery)
+    finally g.unpersist()
+  }
+
+  /** Iterate over a [[prepare]]d graph (steady-state superstep path; the
+    * graph layout is reused across invocations and never unpersisted here).
+    * AQE is scoped OFF for the kernel's internal queries — see [[run]]. */
+  def runPrepared(
+      spark: SparkSession,
+      g: PreparedGraph,
+      damping: Double = 0.85,
+      tol: Double = 1e-9,
+      maxIters: Int = 50,
+      checkpointTable: String = null,
+      kahan: Boolean = false,
+      stepsPerJob: Int = 1,
+      checkpointEvery: Int = 1): Result = {
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try runInternal(spark, g, damping, tol, maxIters, checkpointTable,
+      kahan, stepsPerJob, checkpointEvery)
+    finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
+
+  private def runInternal(
+      spark: SparkSession,
+      g: PreparedGraph,
+      damping: Double,
+      tol: Double,
+      maxIters: Int,
+      checkpointTable: String,
+      kahan: Boolean,
+      stepsPerJob: Int,
+      checkpointEvery: Int): Result = {
 
     val ckpt = Option(checkpointTable).filter(_.nonEmpty)
+    val debug = sys.env.get("SPARK_GRAFT_PR_DEBUG").contains("1")
+    val e = g.edges
+    val vertDeg = g.vertDeg
+    val n = g.n
+    val hasDanglers = g.hasDanglers
 
-    // hash-partition edges by src ONCE, sort within partitions (the CSR
-    // block layout), and cache: InMemoryRelation preserves BOTH
-    // outputPartitioning and outputOrdering, so every superstep's
-    // `edges ⋈ ranks on src` skips the edge-side exchange AND the
-    // edge-side sort (a sort-merge join would otherwise re-sort all |E|
-    // cached rows per superstep — the dominant per-superstep cost at
-    // web scale; only the |V|-row ranks side sorts).
-    val e = edges.select(col("src"), col("dst"))
-      .repartition(col("src"))
-      .sortWithinPartitions("src", "dst")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val vertices = e.select(col("src").as("vid"))
-      .union(e.select(col("dst").as("vid"))).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val n = vertices.count()
-    val outDeg = e.groupBy(col("src").as("vid"))
-      .agg(count(lit(1)).as("outDeg"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // dangling vertices exist iff some vertex has no out-edges; detect once
-    // so dangler-free graphs skip one aggregation job per superstep
-    val hasDanglers = outDeg.count() < n
-
-    // (vid, rank, outDeg) — outDeg 0 marks dangling vertices
-    def withDeg(ranks: DataFrame): DataFrame =
-      ranks.join(outDeg, Seq("vid"), "left")
-        .na.fill(0L, Seq("outDeg"))
-
-    // resume from the latest committed superstep if present
-    val (startStep, startRanks) = ckpt.flatMap(TableIO.read(spark, _)) match {
-      case Some((meta, df)) => (meta.step.toInt + 1, df)
-      case None =>
-        (0, vertices.withColumn("rank", lit(1.0 / n)))
-    }
-
-    var ranks = startRanks.localCheckpoint(true)
-    var step = startStep
-    var delta = Double.MaxValue
-
-    while (step < maxIters && delta >= tol) {
-      val t0 = System.nanoTime()
-      val r = withDeg(ranks)
-
+    // one chained superstep: state (vid, outDeg, rank) -> next state
+    def superstep(st: DataFrame): DataFrame = {
       val contribs = e
-        .join(r.where(col("outDeg") > 0).withColumnRenamed("vid", "src"), "src")
-        .select(col("dst").as("vid"), (col("rank") / col("outDeg")).as("c"))
+        .join(st.where(col("outDeg") > 0).withColumnRenamed("vid", "src")
+          .select(col("src"), (col("rank") / col("outDeg")).as("c")), "src")
+        .select(col("dst").as("vid"), col("c"))
 
       // Kahan keeps the compensated error O(eps) under shuffle reordering
       // (the 1e-6 reproducibility path); plain codegen'd sum is the
@@ -113,52 +200,88 @@ object PageRank {
       // aggregate reads the SAME contribution shuffle (exchange reuse) —
       // one job per superstep instead of two. Dangler-free graphs skip
       // even that branch.
-      val newRanks0 =
-        if (!hasDanglers)
-          vertices.join(summed, Seq("vid"), "left")
-            .na.fill(0.0, Seq("inMass"))
-            .select(col("vid"),
-              (lit((1.0 - damping) / n)
-                + lit(damping) * col("inMass")).as("rank"))
-        else {
-          val totals = summed
-            .agg(coalesce(sum(col("inMass")), lit(0.0)).as("totalIn"))
-          vertices.join(summed, Seq("vid"), "left")
-            .na.fill(0.0, Seq("inMass"))
-            .crossJoin(totals)
-            .select(col("vid"),
-              (lit((1.0 - damping) / n) + lit(damping)
-                * (col("inMass") + (lit(1.0) - col("totalIn")) / n)).as("rank"))
-        }
-      // truncate lineage every superstep: without this the logical plan
-      // (and planning time) grows without bound across iterations
-      val newRanks = newRanks0.localCheckpoint(true)
+      if (!hasDanglers)
+        vertDeg.join(summed, Seq("vid"), "left")
+          .na.fill(0.0, Seq("inMass"))
+          .select(col("vid"), col("outDeg"),
+            (lit((1.0 - damping) / n)
+              + lit(damping) * col("inMass")).as("rank"))
+      else {
+        val totals = summed
+          .agg(coalesce(sum(col("inMass")), lit(0.0)).as("totalIn"))
+        vertDeg.join(summed, Seq("vid"), "left")
+          .na.fill(0.0, Seq("inMass"))
+          .crossJoin(totals)
+          .select(col("vid"), col("outDeg"),
+            (lit((1.0 - damping) / n) + lit(damping)
+              * (col("inMass") + (lit(1.0) - col("totalIn")) / n)).as("rank"))
+      }
+    }
 
-      // convergence check costs one extra join+agg per superstep; skip it
-      // entirely for fixed-iteration runs (tol < 0)
+    // resume from the latest committed superstep if present: snapshots
+    // store (vid, rank); re-attach outDeg from the cached frame
+    val (startStep, startState) = ckpt.flatMap(TableIO.read(spark, _)) match {
+      case Some((meta, df)) =>
+        (meta.step.toInt + 1,
+          vertDeg.join(df.select(col("vid"), col("rank")), Seq("vid")))
+      case None =>
+        (0, vertDeg.withColumn("rank", lit(1.0 / n)))
+    }
+
+    // truncate lineage at block boundaries: without this the logical plan
+    // (and planning time) grows without bound across iterations
+    var st = startState.localCheckpoint(true)
+    var step = startStep
+    var delta = Double.MaxValue
+    var lastCommitted = startStep - 1
+
+    while (step < maxIters && delta >= tol) {
+      val t0 = System.nanoTime()
+      val block = math.min(math.max(1, stepsPerJob), maxIters - step)
+      var cur = st
+      var i = 0
+      while (i < block) { cur = superstep(cur); i += 1 }
+      val newSt = cur.localCheckpoint(true)
+
+      // convergence check costs one extra join+agg per BLOCK; skip it
+      // entirely for fixed-iteration runs (tol < 0). With block > 1 the
+      // delta spans the block — a conservative stop test (per-step deltas
+      // only shrink as the iteration contracts).
       if (tol >= 0) {
-        delta = newRanks.join(ranks.withColumnRenamed("rank", "prev"), "vid")
+        delta = newSt
+          .join(st.select(col("vid"), col("rank").as("prev")), "vid")
           .agg(max(abs(col("rank") - col("prev")))).head().getDouble(0)
       }
 
       val secs = (System.nanoTime() - t0) / 1e9
+      val endStep = step + block - 1
+      if (debug)
+        println(f"""{"pr_block":{"steps":${step}..$endStep,"secs":$secs%.3f}}""")
       ckpt.foreach { t =>
-        // metrics-only dangling mass (checkpointed runs pay the extra
-        // 1-job cost for the lineage record; the hot path above does not)
-        val danglingMass =
-          if (!hasDanglers) 0.0
-          else withDeg(ranks).where(col("outDeg") === 0)
-            .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
-        TableIO.commit(newRanks, t, step,
-          Map("delta" -> delta, "danglingMass" -> danglingMass,
-            "superstepSecs" -> secs, "vertices" -> n.toDouble))
+        if (endStep - lastCommitted >= math.max(1, checkpointEvery)) {
+          // metrics-only dangling mass: a cheap scan of the freshly
+          // materialized |V|-row state (checkpointed runs pay this 1-job
+          // cost for the lineage record; the hot path above does not)
+          val danglingMass =
+            if (!hasDanglers) 0.0
+            else newSt.where(col("outDeg") === 0)
+              .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
+          TableIO.commit(newSt.select(col("vid"), col("rank")), t, endStep,
+            Map("delta" -> delta, "danglingMass" -> danglingMass,
+              "superstepSecs" -> secs, "vertices" -> n.toDouble,
+              "stepsInBlock" -> block.toDouble))
+          lastCommitted = endStep
+        }
       }
-      ranks.unpersist()
-      ranks = newRanks
-      step += 1
+      st.unpersist()
+      st = newSt
+      step += block
     }
-    e.unpersist(); vertices.unpersist(); outDeg.unpersist()
-    Result(ranks, step, delta)
+    // NOTE: the prepared graph (e, vertDeg) is NOT unpersisted here — it is
+    // owned by the caller ([[run]] unpersists its own; [[runPrepared]]
+    // callers reuse it across invocations). The returned ranks are
+    // localCheckpoint'd, so they outlive the layout caches.
+    Result(st.select(col("vid"), col("rank")), step, delta)
   }
 
   /** Hub-salted variant of one contribution superstep, exposed for the

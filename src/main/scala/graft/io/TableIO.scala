@@ -1,10 +1,11 @@
 package graft.io
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
-import scala.jdk.CollectionConverters._
+import scala.util.Try
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -21,11 +22,26 @@ import org.apache.spark.sql.functions._
   *   <table>/
   *     data/snap-<id>/part-*.parquet      // one immutable dir per snapshot
   *     manifests/manifest-<id>.json       // committed atomically (tmp+rename)
-  *     HEAD                               // text file: current snapshot id
+  *     HEAD                               // hint file: current snapshot id
   * }}}
   *
-  * A snapshot is visible iff its manifest rename completed and HEAD points at
-  * it; a crashed writer leaves only an orphaned data dir, never a torn table.
+  * All metadata I/O goes through the Hadoop [[FileSystem]] API resolved from
+  * the table path's scheme, so checkpoint/resume works on any Hadoop-
+  * compatible store (local `file:`, HDFS, S3A) — the same substrate the
+  * parquet data side already uses.
+  *
+  * Commit protocol (Iceberg `HadoopTableOperations` semantics):
+  * the atomic rename of `manifest-<id>.json` IS the commit point. Snapshot
+  * ids are dense (`parent + 1`), and a rename onto an existing manifest is
+  * refused loudly — two racing writers cannot silently clobber each other's
+  * snapshot (single-writer is the supported protocol; the `require` turns a
+  * race into an error instead of corruption). `HEAD` is a best-effort hint
+  * only: readers probe forward from it (or from 0) for the newest committed
+  * manifest, so a crash between the manifest rename and the HEAD swap — or a
+  * lost HEAD file — costs nothing but a few existence probes. A writer that
+  * crashes before the manifest rename leaves only an orphaned data dir,
+  * never a torn table; the next commit reuses the id and overwrites the
+  * orphan's data (mode overwrite) before publishing its own manifest.
   * This is the checkpoint/lineage substrate for all iterative kernels
   * (BASELINE.json north_rule: "resumable from checkpoint with per-partition
   * lineage + metrics").
@@ -42,28 +58,67 @@ final case class SnapshotMeta(
 
 object TableIO {
 
-  private def manifestDir(table: String): Path = Paths.get(table, "manifests")
-  private def headFile(table: String): Path = Paths.get(table, "HEAD")
+  private def hadoopConf: Configuration =
+    SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+
+  private def fsOf(table: String): FileSystem =
+    new Path(table).getFileSystem(hadoopConf)
+
+  private def manifestDir(table: String): Path = new Path(table, "manifests")
+  private def manifestPath(table: String, id: Long): Path =
+    new Path(manifestDir(table), s"manifest-$id.json")
+  private def headFile(table: String): Path = new Path(table, "HEAD")
   private def dataDir(table: String, id: Long): Path =
-    Paths.get(table, "data", f"snap-$id%06d")
+    new Path(table, f"data/snap-$id%06d")
+
+  private def writeString(fs: FileSystem, p: Path, s: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readString(fs: FileSystem, p: Path): String = {
+    val len = fs.getFileStatus(p).getLen.toInt
+    val buf = new Array[Byte](len)
+    val in = fs.open(p)
+    try in.readFully(0, buf)
+    finally in.close()
+    new String(buf, StandardCharsets.UTF_8)
+  }
 
   /** Commit `df` as snapshot `step` of `table`. Returns the meta written.
     * Atomicity: parquet lands in a snapshot-private dir, the manifest is
-    * written to a temp file and atomically renamed, then HEAD is swapped.
+    * written to a temp file and atomically renamed — that rename is the
+    * commit point; HEAD is then swapped as a reader hint. Single-writer
+    * protocol: a concurrent commit of the same snapshot id fails loudly.
     */
   def commit(
       df: DataFrame,
       table: String,
       step: Long,
       metrics: Map[String, Double] = Map.empty): SnapshotMeta = {
-    val spark = df.sparkSession
     val parent = currentSnapshot(table).map(_.snapshotId)
-    // A writer that crashed between the manifest rename and the HEAD swap
-    // leaves an orphaned manifest-<parent+1>.json; the next commit reuses
-    // that id and overwrites both the data dir (mode overwrite) and the
-    // manifest (REPLACE_EXISTING below), so the table never becomes
-    // uncommittable and history stays gap-free.
-    val id = parent.map(_ + 1).getOrElse(0L)
+    commitAt(df, table, parent.map(_ + 1).getOrElse(0L), parent, step, metrics)
+  }
+
+  /** Commit at a pre-resolved snapshot id (the tail of [[commit]], exposed
+    * package-private so the concurrent-commit guard is testable). */
+  private[io] def commitAt(
+      df: DataFrame,
+      table: String,
+      id: Long,
+      parent: Option[Long],
+      step: Long,
+      metrics: Map[String, Double]): SnapshotMeta = {
+    val spark = df.sparkSession
+    val fs = fsOf(table)
+    // guard BEFORE touching the data dir: if this id is already committed, a
+    // concurrent writer won the race — failing here keeps its snapshot's
+    // data intact (the snap-<id> dir below is about to be overwritten)
+    require(!fs.exists(manifestPath(table, id)),
+      s"concurrent commit detected: snapshot $id of $table already exists")
     val dir = dataDir(table, id)
     df.write.mode("overwrite").parquet(dir.toString)
 
@@ -77,46 +132,61 @@ object TableIO {
     val meta = SnapshotMeta(table, id, parent, step, rows,
       back.rdd.getNumPartitions, partRows, metrics)
 
-    Files.createDirectories(manifestDir(table))
-    val json = renderJson(meta)
-    val tmp = manifestDir(table).resolve(s"manifest-$id.json.tmp")
-    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, manifestDir(table).resolve(s"manifest-$id.json"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    val headTmp = Paths.get(table, "HEAD.tmp")
-    Files.write(headTmp, id.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(headTmp, headFile(table), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    fs.mkdirs(manifestDir(table))
+    val tmp = new Path(manifestDir(table), s"manifest-$id.json.tmp")
+    writeString(fs, tmp, renderJson(meta))
+    val dst = manifestPath(table, id)
+    // the commit point: refuse to clobber a concurrently committed snapshot
+    require(!fs.exists(dst),
+      s"concurrent commit detected: snapshot $id of $table already exists")
+    require(fs.rename(tmp, dst), s"manifest rename failed for $dst")
+    // best-effort hint swap — readers recover via manifest probing if a
+    // crash lands in the delete/rename window
+    val headTmp = new Path(table, "HEAD.tmp")
+    writeString(fs, headTmp, id.toString)
+    fs.delete(headFile(table), false)
+    fs.rename(headTmp, headFile(table))
     meta
   }
 
-  /** Latest committed snapshot meta, or None for a fresh/absent table. */
+  /** Latest committed snapshot meta, or None for a fresh/absent table.
+    * Reads the HEAD hint if present, then probes forward over the dense id
+    * space for manifests committed after the hint was written (crash-window
+    * recovery); a missing HEAD falls back to a manifest listing. */
   def currentSnapshot(table: String): Option[SnapshotMeta] = {
+    val fs = fsOf(table)
     val head = headFile(table)
-    if (!Files.exists(head)) None
-    else {
-      val id = new String(Files.readAllBytes(head), StandardCharsets.UTF_8).trim.toLong
-      readManifest(table, id)
+    val hinted: Option[Long] =
+      if (fs.exists(head)) Try(readString(fs, head).trim.toLong).toOption
+      else None
+    hinted match {
+      case Some(h) =>
+        var id = h
+        while (fs.exists(manifestPath(table, id + 1))) id += 1
+        readManifest(table, id)
+      case None => history(table).lastOption
     }
   }
 
   def readManifest(table: String, id: Long): Option[SnapshotMeta] = {
-    val p = manifestDir(table).resolve(s"manifest-$id.json")
-    if (!Files.exists(p)) None
-    else Some(parseJson(table, new String(Files.readAllBytes(p), StandardCharsets.UTF_8)))
+    val fs = fsOf(table)
+    val p = manifestPath(table, id)
+    if (!fs.exists(p)) None
+    else Some(parseJson(table, readString(fs, p)))
   }
 
   /** All committed snapshots, oldest first (the lineage chain). */
   def history(table: String): Seq[SnapshotMeta] = {
+    val fs = fsOf(table)
     val dir = manifestDir(table)
-    if (!Files.exists(dir)) Seq.empty
+    if (!fs.exists(dir)) Seq.empty
     else
-      Files.list(dir).iterator().asScala
-        .map(_.getFileName.toString)
+      fs.listStatus(dir).toSeq
+        .map(_.getPath.getName)
         .collect { case s if s.startsWith("manifest-") && s.endsWith(".json") =>
           s.stripPrefix("manifest-").stripSuffix(".json").toLong
         }
-        .toSeq.sorted.flatMap(readManifest(table, _))
+        .sorted.flatMap(readManifest(table, _))
   }
 
   /** Read the latest snapshot's data. */

@@ -42,12 +42,21 @@ object Ann {
     * 2000×2000×64d); this pays one conversion per ROW and pure primitive
     * arithmetic per pair. Top-k selection happens inline per query — no
     * window shuffle. Ties break by ascending cid, matching the oracle. */
-  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      collectCeiling: Long = 2L * 1000 * 1000): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val spark = queries.sparkSession
     val q = queries.select(col("id").as("qid"), normalize(col("vec")).as("qv"))
     val c = corpus.select(col("id").as("cid"), normalize(col("vec")).as("cv"))
+    // Guardrail: the exact-baseline contract is "corpus fits on one node" —
+    // enforce it instead of OOMing the driver on a misrouted big frame.
+    // Large corpora belong on [[lshTopK]] (the scale path).
+    val corpusRows = c.count()
+    require(corpusRows <= collectCeiling,
+      s"bruteForceTopK: corpus has $corpusRows rows, over the driver-collect " +
+        s"ceiling $collectCeiling; use lshTopK for large corpora (or raise " +
+        "the ceiling if the driver really has the memory)")
     val corpusArr = c.collect().map(r => (r.get(0), r.getSeq[Double](1).toArray))
     val bc = spark.sparkContext.broadcast(corpusArr)
     val idType = q.schema("qid").dataType
@@ -108,23 +117,35 @@ object Ann {
 
   /** LSH-bucketed ANN: equi-join on the signature bucket, exact cosine +
     * top-k inside buckets. `numTables` independent hash tables raise
-    * recall; bucket id is the only shuffle key. */
+    * recall; bucket id is the only shuffle key.
+    *
+    * Shuffle discipline (the 768-d-vector rule): the bucket self-join and
+    * the cross-table pair dedup run over bare `(id, table, bucket)` /
+    * `(qid, cid)` rows — embeddings never enter a shuffle key and cross
+    * the wire exactly once, re-attached per side AFTER the candidate set
+    * is deduped. */
   def lshTopK(data: DataFrame, k: Int, numPlanes: Int = 8,
       numTables: Int = 2): DataFrame = {
-    val tables = (0 until numTables).map { t =>
-      data.select(col("id"), col("vec"),
+    // signatures project the vector away before anything shuffles
+    val sigs = (0 until numTables).map { t =>
+      data.select(col("id"),
         lit(t).as("table"),
         hyperplaneSignature(col("vec"), numPlanes, planeOffset = t * numPlanes)
           .as("bucket"))
     }.reduce(_ union _)
-    val cand = tables.as("a").join(tables.as("b"),
+    // candidate PAIRS, deduped across tables/buckets — ids only
+    val pairs = sigs.as("a").join(sigs.as("b"),
         col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket")
           && col("a.id") =!= col("b.id"))
-      .select(col("a.id").as("qid"), col("b.id").as("cid"),
-        col("a.vec").as("qv"), col("b.vec").as("cv"))
+      .select(col("a.id").as("qid"), col("b.id").as("cid"))
       .distinct()
-    val scored = cand.select(col("qid"), col("cid"),
-      cosine(col("qv"), col("cv")).as("sim")).distinct()
+    // vectors join back once per side; each pair is unique so the scored
+    // frame needs no further dedup
+    val v = data.select(col("id"), col("vec"))
+    val scored = pairs
+      .join(v.select(col("id").as("qid"), col("vec").as("qv")), "qid")
+      .join(v.select(col("id").as("cid"), col("vec").as("cv")), "cid")
+      .select(col("qid"), col("cid"), cosine(col("qv"), col("cv")).as("sim"))
     val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }

@@ -190,25 +190,20 @@ object CitationCorpus {
       .join(nodes.select(col("id").as("refId"), col("title").as("refTitle")), "refId")
       .select(col("doc"), explode(Keyphrase.extract_candidates(col("refTitle"))).as("p"))
 
-  /** KeyphraseExtraction.TF as consumed at :2077 — for each distinct title
-    * candidate, its occurrence count in (title candidates ++ aux phrases)
-    * of the same node. */
-  def tf(nodes: DataFrame, edges: DataFrame): DataFrame = {
-    val cands = titleCandidates(nodes)
-    val pool = cands.union(auxPhrases(nodes, edges))
+  // -- TF/IDF family cores over a PRE-EXTRACTED candidates frame ------------
+  // Every public entry point below runs the keyphrase-extraction UDF over
+  // the titles exactly ONCE (localCheckpoint'd `cands`) and feeds all the
+  // cores from it — at scale the extractor is the dominant scan cost and
+  // must not run once per factor (tf AND idf AND simdf).
+
+  private def tfFrom(cands: DataFrame, pool: DataFrame): DataFrame =
     cands.select(col("doc"), col("p").as("phrase")).distinct()
       .join(pool, Seq("doc"))
       .where(col("p") === col("phrase"))
       .groupBy("doc", "phrase").agg(count(lit(1)).cast("double").as("tf"))
-  }
 
-  /** KeyphraseExtraction.SimTF as consumed at :2142 — fuzzy count:
-    * SimTF(c) = Σ_{p ∈ title candidates ++ aux} sim(c, p), with
-    * sim(c, c) = 1 for identical phrases and the sparse `phraseSim`
-    * entries (symmetric lookup) otherwise. */
-  def simTF(nodes: DataFrame, edges: DataFrame, phraseSim: DataFrame): DataFrame = {
-    val cands = titleCandidates(nodes)
-    val pool = cands.union(auxPhrases(nodes, edges))
+  private def simTFFrom(cands: DataFrame, pool: DataFrame,
+      phraseSim: DataFrame): DataFrame = {
     val sym = phraseSim.select(col("p1").as("phrase"), col("p2").as("p"), col("sim"))
       .union(phraseSim.select(col("p2").as("phrase"), col("p1").as("p"), col("sim")))
     cands.select(col("doc"), col("p").as("phrase")).distinct()
@@ -220,25 +215,15 @@ object CitationCorpus {
       .groupBy("doc", "phrase").agg(sum("w").as("tf"))
   }
 
-  /** KeyphraseExtraction.IDF as consumed at :2084 — idf(p) = ln(numMain /
-    * df(p)) where df = # main nodes whose TITLE candidate group contains
-    * p (aux phrases do not count toward df, matching
-    * `phraseCandidateGroups` holding only title candidates). */
-  def idf(nodes: DataFrame, edges: DataFrame): DataFrame = {
-    val groups = titleCandidates(nodes).select(col("doc"), col("p")).distinct()
-    val numMain = mainNodes(nodes).count().toDouble
-    groups.groupBy(col("p").as("phrase"))
+  private def idfFrom(cands: DataFrame, numMain: Double): DataFrame =
+    cands.select(col("doc"), col("p")).distinct()
+      .groupBy(col("p").as("phrase"))
       .agg(count(lit(1)).as("df"))
       .select(col("phrase"), log(lit(numMain) / col("df")).as("idf"))
-  }
 
-  /** KeyphraseExtraction.SimIDF as consumed at :2236 — fuzzy document
-    * frequency: simdf(p) = Σ_docs max_{q ∈ title candidates of doc}
-    * sim(p, q) (1 if the doc contains p itself); idf = ln(numMain /
-    * simdf). */
-  def simIDF(nodes: DataFrame, edges: DataFrame, phraseSim: DataFrame): DataFrame = {
-    val groups = titleCandidates(nodes).select(col("doc"), col("p")).distinct()
-    val numMain = mainNodes(nodes).count().toDouble
+  private def simIDFFrom(cands: DataFrame, numMain: Double,
+      phraseSim: DataFrame): DataFrame = {
+    val groups = cands.select(col("doc"), col("p")).distinct()
     val sym = phraseSim.select(col("p1").as("phrase"), col("p2").as("p"), col("sim"))
       .union(phraseSim.select(col("p2").as("phrase"), col("p1").as("p"), col("sim")))
       .union(groups.select(col("p").as("phrase"), col("p"), lit(1.0).as("sim")).distinct())
@@ -249,24 +234,72 @@ object CitationCorpus {
       .select(col("phrase"), log(lit(numMain) / col("simdf")).as("idf"))
   }
 
+  /** one extraction pass shared by a whole TFIDF-family invocation */
+  private def extractedCandidates(nodes: DataFrame): DataFrame =
+    titleCandidates(nodes).localCheckpoint(true)
+
+  /** KeyphraseExtraction.TF as consumed at :2077 — for each distinct title
+    * candidate, its occurrence count in (title candidates ++ aux phrases)
+    * of the same node. */
+  def tf(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val cands = extractedCandidates(nodes)
+    tfFrom(cands, cands.union(auxPhrases(nodes, edges)))
+  }
+
+  /** KeyphraseExtraction.SimTF as consumed at :2142 — fuzzy count:
+    * SimTF(c) = Σ_{p ∈ title candidates ++ aux} sim(c, p), with
+    * sim(c, c) = 1 for identical phrases and the sparse `phraseSim`
+    * entries (symmetric lookup) otherwise. */
+  def simTF(nodes: DataFrame, edges: DataFrame, phraseSim: DataFrame): DataFrame = {
+    val cands = extractedCandidates(nodes)
+    simTFFrom(cands, cands.union(auxPhrases(nodes, edges)), phraseSim)
+  }
+
+  /** KeyphraseExtraction.IDF as consumed at :2084 — idf(p) = ln(numMain /
+    * df(p)) where df = # main nodes whose TITLE candidate group contains
+    * p (aux phrases do not count toward df, matching
+    * `phraseCandidateGroups` holding only title candidates). */
+  def idf(nodes: DataFrame, edges: DataFrame): DataFrame =
+    idfFrom(extractedCandidates(nodes), mainNodes(nodes).count().toDouble)
+
+  /** KeyphraseExtraction.SimIDF as consumed at :2236 — fuzzy document
+    * frequency: simdf(p) = Σ_docs max_{q ∈ title candidates of doc}
+    * sim(p, q) (1 if the doc contains p itself); idf = ln(numMain /
+    * simdf). */
+  def simIDF(nodes: DataFrame, edges: DataFrame, phraseSim: DataFrame): DataFrame =
+    simIDFFrom(extractedCandidates(nodes), mainNodes(nodes).count().toDouble,
+      phraseSim)
+
   /** TFIDF (:2058-2102): per main node, weight(c) = TF(c) · IDF(c) over
-    * title candidates — no containment dedup in the plain variant. */
-  def tfidf(nodes: DataFrame, edges: DataFrame): DataFrame =
-    tf(nodes, edges).join(idf(nodes, edges), "phrase")
+    * title candidates — no containment dedup in the plain variant. One
+    * candidate extraction feeds both factors. */
+  def tfidf(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val cands = extractedCandidates(nodes)
+    val numMain = mainNodes(nodes).count().toDouble
+    tfFrom(cands, cands.union(auxPhrases(nodes, edges)))
+      .join(idfFrom(cands, numMain), "phrase")
       .select(col("doc"), col("phrase"), (col("tf") * col("idf")).as("weight"))
+  }
 
   /** SimTFIDF (:2111-2196): SimTF · IDF followed by the ArgSort + greedy
     * containment dedup (W2) the reference applies in this variant only. */
   def simTFIDF(nodes: DataFrame, edges: DataFrame, phraseSim: DataFrame): DataFrame = {
-    val weighted = simTF(nodes, edges, phraseSim).join(idf(nodes, edges), "phrase")
+    val cands = extractedCandidates(nodes)
+    val numMain = mainNodes(nodes).count().toDouble
+    val weighted = simTFFrom(cands, cands.union(auxPhrases(nodes, edges)), phraseSim)
+      .join(idfFrom(cands, numMain), "phrase")
       .select(col("doc"), col("phrase"), (col("tf") * col("idf")).as("weight"))
     Keyphrase.greedyContainmentDedup(weighted)
   }
 
   /** SimTFSimIDF (:2205-2265): SimTF · SimIDF, no dedup. */
-  def simTFSimIDF(nodes: DataFrame, edges: DataFrame, phraseSim: DataFrame): DataFrame =
-    simTF(nodes, edges, phraseSim).join(simIDF(nodes, edges, phraseSim), "phrase")
+  def simTFSimIDF(nodes: DataFrame, edges: DataFrame, phraseSim: DataFrame): DataFrame = {
+    val cands = extractedCandidates(nodes)
+    val numMain = mainNodes(nodes).count().toDouble
+    simTFFrom(cands, cands.union(auxPhrases(nodes, edges)), phraseSim)
+      .join(simIDFFrom(cands, numMain, phraseSim), "phrase")
       .select(col("doc"), col("phrase"), (col("tf") * col("idf")).as("weight"))
+  }
 
   // ---- clustering entry points --------------------------------------------
 
@@ -419,10 +452,14 @@ object CitationCorpus {
   }
 
   /** GetStronglyConnectedPhrases (:3673-3797): CorpusX(2) sub-phrase corpus
-    * -> cross-group distinct-doc concurrences (A4) -> lift filter
+    * -> cross-group per-(doc,group)-occurrence concurrences (A4, exact
+    * visited-set-per-(g1,w1) semantics) -> lift filter
     * (freq >= thresFreq AND freq >= thresRatio · expected, where
-    * expected = df1/numDocs · df2/numDocs · numNodes). Returns
-    * `(p1, p2, actual, expected)` string-keyed. */
+    * expected = df1/numDocs · df2/numDocs · numNodes). The reference reads
+    * the DIRECTED count oriented from the smaller vocab id
+    * (`concurrences[w1][w2]` with `w1 < w2`, :3761-3769) — replicated by
+    * the id filter below. Returns `(p1, p2, actual, expected)`
+    * string-keyed. */
   def stronglyConnectedPhrases(nodes: DataFrame, edges: DataFrame,
       thresFreq: Double, thresRatio: Double): DataFrame = {
     val (bowX, v, _) = createCorpusX(nodes, edges, corpusType = 2)
@@ -431,6 +468,7 @@ object CitationCorpus {
     val n = nodes.count().toDouble
     val numDocs = n
     val pairs = Corpus.docConcurrencesX(bowX)
+      .where(col("w1") < col("w2")) // reference orientation: smaller id first
     val dfreq = bowX.select(col("doc"), col("word")).distinct()
       .groupBy("word").agg(count(lit(1)).as("df"))
     pairs

@@ -69,11 +69,13 @@ object Leap2Trend {
   /** Per-year embedding training via MLlib Word2Vec over the CUMULATIVE
     * corpus (S4 semantics: year Y trains on all docs with year <= Y).
     *
-    * DOCUMENTED DEVIATION (SURVEY.md §7 hard part g): the reference trains
-    * CBOW + negative sampling (wego, CitationGraphs.go:4110-4134); MLlib
-    * implements skip-gram + hierarchical softmax. Same window/dim/seed
-    * knobs, different objective — acceptable because Leap2Trend consumes
-    * only RELATIVE neighbor ranks per year, not absolute vector values.
+    * Objective note (SURVEY.md §7 hard part g): the reference trains CBOW +
+    * negative sampling (wego, CitationGraphs.go:4110-4134); MLlib implements
+    * skip-gram + hierarchical softmax. This entry point keeps MLlib (fast,
+    * battle-tested); [[trainEmbeddingsCBOW]] trains the reference's exact
+    * objective via [[graft.ml.CbowNs]]. Leap2Trend consumes only RELATIVE
+    * neighbor ranks per year, and the spec's rank-correlation test measures
+    * the objectives' agreement on that signal.
     * Returns `(year, phrase, vec ARRAY<DOUBLE>)`. */
   def trainEmbeddings(docs: DataFrame, yearStartFrom: Int,
       dim: Int = 100, window: Int = 5, minCount: Int = 5,
@@ -97,6 +99,32 @@ object Leap2Trend {
       model.getVectors
         .select(lit(y.toLong).as("year"), col("word").as("phrase"),
           vecToArray(col("vector")).as("vec"))
+    }.reduce(_ union _)
+  }
+
+  /** Per-year embedding training with the reference's ACTUAL objective —
+    * CBOW + negative sampling ([[graft.ml.CbowNs]], wego parity:
+    * CitationGraphs.go:4110-4134) — over the same cumulative corpus as
+    * [[trainEmbeddings]]. Doc RNG ids are content hashes, so training is
+    * invariant to row order and input partitioning of `docs`. */
+  def trainEmbeddingsCBOW(docs: DataFrame, yearStartFrom: Int,
+      dim: Int = 100, window: Int = 5, minCount: Int = 5,
+      epochs: Int = 5, negative: Int = 5, subsample: Double = 1e-3,
+      seed: Long = 42L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val years = docs.agg(min("year"), max("year")).as[(Long, Long)].head()
+    val yMin = math.max(years._1.toInt, yearStartFrom)
+    val yMax = years._2.toInt
+    (yMin to yMax).map { y =>
+      val corpus = docs.where(col("lang") === "en" && col("year") <= y)
+        .select(xxhash64(col("text")).as("doc"),
+          split(col("text"), "\\s+").as("toks"))
+      new graft.ml.CbowNs(dim = dim, window = window, minCount = minCount,
+          epochs = epochs, negative = negative, subsample = subsample,
+          seed = seed)
+        .fit(spark, corpus)
+        .select(lit(y.toLong).as("year"), col("word").as("phrase"), col("vec"))
     }.reduce(_ union _)
   }
 
@@ -185,19 +213,31 @@ object Leap2Trend {
     * CBOW-vs-skip-gram deviation. */
   def word2vecFiles(spark: SparkSession, prefix: String,
       yearStartFrom: Int, yearEndWith: Int, dim: Int = 100,
-      minCount: Int = 5, maxIter: Int = 1, seed: Long = 42L): Unit = {
+      minCount: Int = 5, maxIter: Int = 1, seed: Long = 42L,
+      cbow: Boolean = false): Unit = {
     (yearStartFrom to yearEndWith).foreach { y =>
-      val corpus = spark.read.text(s"$prefix-$y.txt")
-        .select(split(col("value"), "\\s+").as("toks"))
-      val model = new org.apache.spark.ml.feature.Word2Vec()
-        .setInputCol("toks").setOutputCol("vec")
-        .setVectorSize(dim).setWindowSize(5)
-        .setMinCount(minCount).setMaxIter(maxIter).setSeed(seed)
-        .fit(corpus)
-      saveVecFile(
-        model.getVectors.select(col("word").as("phrase"),
-          vecToArray(col("vector")).as("vec")),
-        s"$prefix-cbow-$y.vec")
+      val vectors =
+        if (cbow) {
+          // the reference's actual objective (wego CBOW+NS, :4110-4134)
+          val corpus = spark.read.text(s"$prefix-$y.txt")
+            .select(xxhash64(col("value")).as("doc"),
+              split(col("value"), "\\s+").as("toks"))
+          new graft.ml.CbowNs(dim = dim, window = 5, minCount = minCount,
+              epochs = math.max(1, maxIter), seed = seed)
+            .fit(spark, corpus)
+            .select(col("word").as("phrase"), col("vec"))
+        } else {
+          val corpus = spark.read.text(s"$prefix-$y.txt")
+            .select(split(col("value"), "\\s+").as("toks"))
+          val model = new org.apache.spark.ml.feature.Word2Vec()
+            .setInputCol("toks").setOutputCol("vec")
+            .setVectorSize(dim).setWindowSize(5)
+            .setMinCount(minCount).setMaxIter(maxIter).setSeed(seed)
+            .fit(corpus)
+          model.getVectors.select(col("word").as("phrase"),
+            vecToArray(col("vector")).as("vec"))
+        }
+      saveVecFile(vectors, s"$prefix-cbow-$y.vec")
     }
   }
 

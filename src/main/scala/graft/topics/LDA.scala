@@ -153,47 +153,89 @@ class LDA(
       }
     }
 
-    val wordTopic = assigns.groupByKey(r => (r._2, r._4)).count().collect().toMap
+    // final counters: K-sized topicSum always; the vocab×K table only on
+    // the broadcast path — the useJoin path's whole point is that this
+    // collect OOMs the driver at unbounded vocab, so the model keeps the
+    // table distributed and `infer` re-derives it via the word-keyed join
     val topicSum = assigns.groupByKey(_._4).count().collect().toMap
-    LDAModel(this, assigns.toDF("doc", "word", "occ", "topic"),
-      wordTopic, topicSum, numWords)
+    if (!useJoin) {
+      val wordTopic = assigns.groupByKey(r => (r._2, r._4)).count().collect().toMap
+      LDAModel(this, assigns.toDF("doc", "word", "occ", "topic"),
+        wordTopic, topicSum, numWords, countersCollected = true)
+    } else
+      LDAModel(this, assigns.toDF("doc", "word", "occ", "topic"),
+        Map.empty, topicSum, numWords, countersCollected = false)
   }
 }
 
-/** Trained model. `wordTopic` is materialized ONCE at the end of training
-  * for `infer` (which is per-doc, reference :1277-1307); the per-superstep
-  * training path never collects it when vocab×K exceeds the ceiling. For
-  * unbounded-vocab inference, aggregate counters from `assignments`
-  * distributed instead of using this map. */
+/** Trained model. On the broadcast path `wordTopic` is materialized ONCE at
+  * the end of training for `infer` (which is per-doc, reference
+  * :1277-1307). On the unbounded-vocab (`useJoin`) path it is NEVER
+  * collected (`countersCollected = false`, map empty): `infer` re-derives
+  * the vocab×K table distributed from `assignments` and joins the needed
+  * K-vectors into the scored docs on `word`. */
 final case class LDAModel(
     lda: LDA,
     assignments: DataFrame, // (doc, word, occ, topic)
-    wordTopic: Map[(Int, Int), Long],
+    wordTopic: Map[(Int, Int), Long], // empty when !countersCollected
     topicSum: Map[Int, Long],
-    numWords: Int) {
+    numWords: Int,
+    countersCollected: Boolean = true) {
 
-  /** Per-doc topic distribution by Infer semantics (:1277-1307). */
+  /** Per-doc topic distribution by Infer semantics (:1277-1307).
+    * Broadcast path when counters are collected; word-keyed join otherwise. */
   def infer(spark: SparkSession, bow: DataFrame): DataFrame = {
     import spark.implicits._
     val k = lda.numTopics; val b = lda.beta; val nw = numWords.toDouble
-    val wtB = spark.sparkContext.broadcast(wordTopic)
     val tsB = spark.sparkContext.broadcast(topicSum)
-    bow.select(col("doc").cast("long"), col("word").cast("int"), col("cnt").cast("int"))
-      .as[(Long, Int, Int)]
-      .groupByKey(_._1)
-      .mapGroups { (doc, it) =>
-        val words = it.toArray
-        val wt = wtB.value; val ts = tsB.value
-        val probs = (0 until k).map { idxK =>
-          words.map { case (_, w, cnt) =>
-            cnt * (b + wt.getOrElse((w, idxK), 0L)) /
-              (b * nw + ts.getOrElse(idxK, 0L))
-          }.sum
-        }
-        val s0 = probs.sum
-        val s = if (s0 == 0.0) 1.0 else s0
-        (doc, probs.map(_ / s))
-      }.toDF("doc", "membership")
+
+    def membership(rows: Iterable[(Int, Int, Int => Double)],
+        ts: Map[Int, Long]): Seq[Double] = {
+      val probs = (0 until k).map { idxK =>
+        rows.iterator.map { case (_, cnt, wtcOf) =>
+          cnt * (b + wtcOf(idxK)) / (b * nw + ts.getOrElse(idxK, 0L))
+        }.sum
+      }
+      val s0 = probs.sum
+      val s = if (s0 == 0.0) 1.0 else s0
+      probs.map(_ / s)
+    }
+
+    if (countersCollected) {
+      val wtB = spark.sparkContext.broadcast(wordTopic)
+      bow.select(col("doc").cast("long"), col("word").cast("int"), col("cnt").cast("int"))
+        .as[(Long, Int, Int)]
+        .groupByKey(_._1)
+        .mapGroups { (doc, it) =>
+          val wt = wtB.value
+          val rows = it.toArray.map { case (_, w, cnt) =>
+            (w, cnt, (idxK: Int) => wt.getOrElse((w, idxK), 0L).toDouble)
+          }
+          (doc, membership(rows, tsB.value))
+        }.toDF("doc", "membership")
+    } else {
+      // vocab×K stays distributed: aggregate from assignments, join the
+      // K-vectors onto the scored words (absent words keep wtc = 0 — they
+      // still contribute the b/(b·nw + ts) smoothing term, hence left join)
+      val wt = assignments.groupBy("word", "topic").agg(count(lit(1)).as("c"))
+        .groupBy("word")
+        .agg(collect_list(struct(col("topic").as("_1"), col("c").as("_2")))
+          .as("wts"))
+      bow.select(col("doc").cast("long"), col("word").cast("int"), col("cnt").cast("int"))
+        .join(wt, Seq("word"), "left")
+        .select(col("doc").as("_1"), col("word").as("_2"), col("cnt").as("_3"),
+          col("wts").as("_4"))
+        .as[(Long, Int, Int, Option[Seq[(Int, Long)]])]
+        .groupByKey(_._1)
+        .mapGroups { (doc, it) =>
+          val rows = it.toArray.map { case (_, w, cnt, wts) =>
+            val a = new Array[Double](k)
+            wts.foreach(_.foreach { case (t, c) => a(t) = c.toDouble })
+            (w, cnt, (idxK: Int) => a(idxK))
+          }
+          (doc, membership(rows, tsB.value))
+        }.toDF("doc", "membership")
+    }
   }
 
   /** ComputeEntropy (:1312-1333): corpus-weighted per-doc entropy. */

@@ -103,6 +103,104 @@ class GraphKernelsSpec extends SparkSpec {
     assert(math.abs(g1 - 1.0) < 0.01 && math.abs(g2 - 1.0) < 0.01)
   }
 
+  test("stepsPerJob block fusion computes the same fixpoint trajectory") {
+    // chaining k supersteps per job is a driver-side fusion only: the math
+    // per superstep is identical, so 12 steps = 4 blocks of 3 = 12 blocks
+    // of 1 up to shuffle merge-order float noise
+    val edges = Referee.zipf(400, 1600, 11L)
+    val a = PageRank.run(spark, edgeDF(edges), maxIters = 12, tol = -1.0)
+      .ranks.as[(Long, Double)].collect().toMap
+    val b = PageRank.run(spark, edgeDF(edges), maxIters = 12, tol = -1.0,
+      stepsPerJob = 3).ranks.as[(Long, Double)].collect().toMap
+    val c = PageRank.run(spark, edgeDF(edges), maxIters = 12, tol = -1.0,
+      stepsPerJob = 5).ranks.as[(Long, Double)].collect().toMap // 5+5+2
+    assert(a.keySet == b.keySet && a.keySet == c.keySet)
+    a.foreach { case (v, r) =>
+      assert(math.abs(b(v) - r) < 1e-9, s"stepsPerJob=3 vid=$v")
+      assert(math.abs(c(v) - r) < 1e-9, s"stepsPerJob=5 vid=$v")
+    }
+    // and convergence mode still stops: delta spans a block, so a converged
+    // run under block fusion terminates with the same ranks
+    val conv1 = PageRank.run(spark, edgeDF(edges), tol = 1e-10, maxIters = 60)
+    val conv3 = PageRank.run(spark, edgeDF(edges), tol = 1e-10, maxIters = 60,
+      stepsPerJob = 3)
+    val m1 = conv1.ranks.as[(Long, Double)].collect().toMap
+    val m3 = conv3.ranks.as[(Long, Double)].collect().toMap
+    m1.foreach { case (v, r) => assert(math.abs(m3(v) - r) < 1e-8, s"conv vid=$v") }
+  }
+
+  test("checkpointEvery cadence: commits every k supersteps, crash resumes") {
+    import graft.io.TableIO
+    val edges = Referee.zipf(200, 800, 5L)
+
+    // cadence: 6 supersteps, checkpointEvery=2 -> commits at steps 1,3,5
+    val t1 = tmpDir("pr_ckpt_cadence")
+    PageRank.run(spark, edgeDF(edges), maxIters = 6, tol = -1.0,
+      checkpointTable = t1, checkpointEvery = 2)
+    assert(TableIO.history(t1).map(_.step) == Seq(1L, 3L, 5L))
+
+    // fault injection: truth = 6 uninterrupted supersteps; crashed run
+    // stops after 3 (HEAD left at step 1 under cadence 2); resume from the
+    // table completes the remaining supersteps and matches truth
+    val truth = PageRank.run(spark, edgeDF(edges), maxIters = 6, tol = -1.0)
+      .ranks.as[(Long, Double)].collect().toMap
+    val t2 = tmpDir("pr_ckpt_crash")
+    PageRank.run(spark, edgeDF(edges), maxIters = 3, tol = -1.0,
+      checkpointTable = t2, checkpointEvery = 2)
+    assert(TableIO.currentSnapshot(t2).map(_.step) == Some(1L))
+    val resumed = PageRank.run(spark, edgeDF(edges), maxIters = 6, tol = -1.0,
+      checkpointTable = t2, checkpointEvery = 2)
+      .ranks.as[(Long, Double)].collect().toMap
+    assert(resumed.keySet == truth.keySet)
+    truth.foreach { case (v, r) =>
+      assert(math.abs(resumed(v) - r) < 1e-12, s"resume vid=$v")
+    }
+    // lineage chain is gap-free at the cadence after resume: 1,3,5
+    assert(TableIO.history(t2).map(_.step) == Seq(1L, 3L, 5L))
+  }
+
+  test("CC/LP checkpoint cadence: k-superstep commits, final state durable") {
+    import graft.io.TableIO
+    val edges = Referee.zipf(150, 600, 3L)
+    // hashMin: cadence 3 over a run that converges at some step c — commits
+    // land at 0, 3, 6, ... and ALWAYS at the converged step
+    val t1 = tmpDir("cc_cadence")
+    val cc = ConnectedComponents.hashMin(spark, edgeDF(edges),
+      checkpointTable = t1, checkpointEvery = 3)
+    val h1 = TableIO.history(t1).map(_.step)
+    assert(h1.nonEmpty && h1.head == 0L)
+    assert(h1.zip(h1.tail).forall { case (a, b) => b - a <= 3 })
+    // durable HEAD state equals the in-memory result (final commit present)
+    val (_, back) = TableIO.read(spark, t1).get
+    assert(back.as[(Long, Long)].collect().toMap
+      == cc.as[(Long, Long)].collect().toMap)
+
+    // LP: 5 iterations, cadence 2 -> steps 0, 2, 4 (4 = final, forced)
+    val t2 = tmpDir("lp_cadence")
+    val lp = LabelPropagation.run(spark, edgeDF(edges), numIters = 5,
+      checkpointTable = t2, checkpointEvery = 2)
+    assert(TableIO.history(t2).map(_.step) == Seq(0L, 2L, 4L))
+    val (m2, back2) = TableIO.read(spark, t2).get
+    assert(m2.step == 4L)
+    assert(back2.as[(Long, Long)].collect().toMap
+      == lp.as[(Long, Long)].collect().toMap)
+  }
+
+  test("block fusion + checkpointing compose (commits at block boundaries)") {
+    import graft.io.TableIO
+    val edges = Referee.zipf(200, 800, 9L)
+    val t = tmpDir("pr_ckpt_blocks")
+    val r = PageRank.run(spark, edgeDF(edges), maxIters = 6, tol = -1.0,
+      checkpointTable = t, stepsPerJob = 2, checkpointEvery = 1)
+    assert(r.supersteps == 6)
+    // blocks of 2 -> boundaries after steps 1, 3, 5; cadence 1 commits each
+    assert(TableIO.history(t).map(_.step) == Seq(1L, 3L, 5L))
+    val truth = PageRank.run(spark, edgeDF(edges), maxIters = 6, tol = -1.0)
+      .ranks.as[(Long, Double)].collect().toMap
+    val got = r.ranks.as[(Long, Double)].collect().toMap
+    truth.foreach { case (v, x) => assert(math.abs(got(v) - x) < 1e-9) }
+  }
+
   test("kernels are partitioning-invariant") {
     val edges = Referee.zipf(300, 1200, 7L)
     val a = edges.toDF("src", "dst").repartition(2)

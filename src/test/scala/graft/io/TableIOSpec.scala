@@ -31,6 +31,56 @@ class TableIOSpec extends SparkSpec {
     assert(h.forall(_.partitionRows.sum == 2L), "per-partition lineage rows")
   }
 
+  test("metadata I/O runs on the Hadoop FileSystem API (file:-scheme table)") {
+    // explicit scheme: the same code path a cluster uses for hdfs:// / s3a://
+    val dir = "file://" + tmpDir("tableio_scheme")
+    val m0 = TableIO.commit(Seq((1L, 1.0)).toDF("vid", "rank"), dir, step = 0)
+    val m1 = TableIO.commit(Seq((1L, 2.0)).toDF("vid", "rank"), dir, step = 1)
+    assert(m0.snapshotId == 0L && m1.parentId.contains(0L))
+    val (meta, back) = TableIO.read(spark, dir).get
+    assert(meta.snapshotId == 1L)
+    assert(back.as[(Long, Double)].collect().toSeq == Seq((1L, 2.0)))
+    assert(TableIO.history(dir).map(_.step) == Seq(0L, 1L))
+  }
+
+  test("HEAD is a hint: stale or lost HEAD recovers from manifests") {
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+
+    // stale HEAD (crash between manifest rename and HEAD swap): reader
+    // probes forward over the dense id space and sees the newer commit
+    val dir = tmpDir("tableio_stale")
+    TableIO.commit(Seq((1L, 1.0)).toDF("vid", "rank"), dir, step = 0)
+    TableIO.commit(Seq((1L, 2.0)).toDF("vid", "rank"), dir, step = 1)
+    val head = new org.apache.hadoop.fs.Path(dir, "HEAD")
+    val out = fs.create(head, true)
+    out.write("0".getBytes("UTF-8")); out.close() // wind the hint back
+    assert(TableIO.currentSnapshot(dir).map(_.snapshotId) == Some(1L))
+
+    // lost HEAD entirely: falls back to the manifest listing
+    fs.delete(head, false)
+    assert(TableIO.currentSnapshot(dir).map(_.snapshotId) == Some(1L))
+    // and the next commit chains correctly off the recovered snapshot
+    val m2 = TableIO.commit(Seq((1L, 3.0)).toDF("vid", "rank"), dir, step = 2)
+    assert(m2.snapshotId == 2L && m2.parentId.contains(1L))
+  }
+
+  test("a racing writer cannot silently clobber a committed snapshot") {
+    val dir = tmpDir("tableio_race")
+    TableIO.commit(Seq((1L, 1.0)).toDF("vid", "rank"), dir, step = 0)
+    TableIO.commit(Seq((1L, 2.0)).toDF("vid", "rank"), dir, step = 1)
+    // writer A resolved parent=0 → id=1, but writer B committed id=1 in the
+    // TOCTOU window: A's manifest publish must fail loudly, not overwrite
+    intercept[IllegalArgumentException] {
+      TableIO.commitAt(Seq((9L, 9.0)).toDF("vid", "rank"), dir,
+        id = 1L, parent = Some(0L), step = 1L, metrics = Map.empty)
+    }
+    // B's snapshot survives intact
+    val (meta, back) = TableIO.read(spark, dir).get
+    assert(meta.snapshotId == 1L)
+    assert(back.as[(Long, Double)].collect().toSeq == Seq((1L, 2.0)))
+  }
+
   test("PageRank checkpoints every superstep and resumes mid-iteration") {
     val dir = tmpDir("prckpt")
     val edges = Referee.zipf(200, 800, 11L).toDF("src", "dst")

@@ -101,6 +101,30 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("brute force fails loudly over the driver-collect ceiling") {
+    // the exact baseline's "corpus fits on one node" contract is enforced,
+    // not assumed: a misrouted big corpus errors with the lshTopK pointer
+    // instead of OOMing the driver
+    val ex = intercept[IllegalArgumentException] {
+      Ann.bruteForceTopK(vecs, vecs, 1, collectCeiling = 3L).collect()
+    }
+    assert(ex.getMessage.contains("lshTopK"))
+  }
+
+  test("LSH candidate dedup never carries embedding vectors in shuffle keys") {
+    // the pair dedup must aggregate on bare (qid, cid); the vectors join
+    // back after — no 768-d arrays inside a distinct/sort key at scale
+    val plan = Ann.lshTopK(vecs, k = 1, numPlanes = 4, numTables = 3)
+      .queryExecution.executedPlan.toString
+    val aggKeyLines = plan.linesIterator
+      .filter(l => l.contains("HashAggregate") && l.contains("keys=")).toSeq
+    assert(aggKeyLines.nonEmpty, "expected a pair-dedup aggregate")
+    aggKeyLines.foreach { l =>
+      assert(!l.contains("vec") && !l.contains("qv") && !l.contains("cv"),
+        s"vector column in an aggregate key: $l")
+    }
+  }
+
   test("cosine near-dups finds the planted close pairs") {
     val pairs = Ann.cosineNearDups(vecs, threshold = 0.95, numPlanes = 4)
       .select("id1", "id2").as[(Long, Long)].collect().toSet

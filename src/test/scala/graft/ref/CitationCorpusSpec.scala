@@ -198,26 +198,35 @@ class CitationCorpusSpec extends SparkSpec {
     }
     val numDocs = docGroups.size.toDouble
     val n = nodes.size.toDouble
-    // cross-group doc concurrences + doc freqs
-    val pairDocs = scala.collection.mutable.Map.empty[(Int, Int), Set[Long]]
+    // cross-group concurrences, literal GetDocConcurrences loop (:857-884):
+    // fresh visited set per (doc, group-occurrence of w1) — a sub-phrase in
+    // k groups of one doc contributes k, and the count is directed by w1
+    val pairFreq = scala.collection.mutable.Map.empty[(Int, Int), Double]
     val dfOf = scala.collection.mutable.Map.empty[Int, Int]
-    docGroups.foreach { case (id, groups) =>
+    docGroups.foreach { case (_, groups) =>
       groups.flatten.toSet.foreach { w: Int => dfOf(w) = dfOf.getOrElse(w, 0) + 1 }
-      for {
-        (g1, i) <- groups.zipWithIndex; (g2, j) <- groups.zipWithIndex
-        if i != j
-        w1 <- g1; w2 <- g2
-        if w1 < w2
-      } pairDocs((w1, w2)) = pairDocs.getOrElse((w1, w2), Set.empty) + id
+      for ((g1, i) <- groups.zipWithIndex; w1 <- g1) {
+        val visited = scala.collection.mutable.Set.empty[Int]
+        for {
+          (g2, j) <- groups.zipWithIndex
+          if j != i
+          w2 <- g2
+          if w2 != w1 && !visited(w2)
+        } {
+          pairFreq((w1, w2)) = pairFreq.getOrElse((w1, w2), 0.0) + 1.0
+          visited += w2
+        }
+      }
     }
     val byName = vocab.map(_.swap)
-    val want = pairDocs.flatMap { case ((w1, w2), ds) =>
-      val freq = ds.size.toDouble
-      val expected = dfOf(w1) / numDocs * dfOf(w2) / numDocs * n
-      if (freq >= 2.0 && freq >= expected)
-        Some((byName(w1), byName(w2)) -> ((freq, expected)))
-      else None
-    }.toMap
+    // findStronglyConnectedPhrases reads the w1<w2 orientation (:3761-3769)
+    val want = pairFreq.iterator.filter { case ((w1, w2), _) => w1 < w2 }
+      .flatMap { case ((w1, w2), freq) =>
+        val expected = dfOf(w1) / numDocs * dfOf(w2) / numDocs * n
+        if (freq >= 2.0 && freq >= expected)
+          Some((byName(w1), byName(w2)) -> ((freq, expected)))
+        else None
+      }.toMap
     assert(got.nonEmpty, "thresholds must produce rows on the fixture")
     assert(got.keySet == want.keySet)
     want.foreach { case (k, (a, e)) =>

@@ -47,6 +47,28 @@ class TopicsSpec extends SparkSpec {
     assert(m.relativeEntropy(spark) < 0.9)
   }
 
+  test("LDA unbounded-vocab path never collects vocab×K; infer matches") {
+    // ceiling 1 forces the counter-join path end-to-end: training (round-2
+    // fallback) AND the final model build + infer (no driver collect left)
+    val mb = new LDA(2, seed = 7L).train(spark, bow(4), 12, numIters = 4)
+    val mj = new LDA(2, seed = 7L, broadcastCeiling = 1L)
+      .train(spark, bow(4), 12, numIters = 4)
+    assert(mb.countersCollected && !mj.countersCollected)
+    assert(mj.wordTopic.isEmpty, "vocab×K table not collected on join path")
+    // identical hash-seeded trajectory across counter strategies
+    assert(mb.assignments.as[(Long, Int, Int, Int)].collect().toSet
+      == mj.assignments.as[(Long, Int, Int, Int)].collect().toSet)
+    // join-path infer agrees with broadcast-path infer
+    val ib = mb.infer(spark, bow(4)).as[(Long, Seq[Double])].collect().toMap
+    val ij = mj.infer(spark, bow(4)).as[(Long, Seq[Double])].collect().toMap
+    assert(ib.keySet == ij.keySet)
+    ib.foreach { case (d, p) =>
+      p.zip(ij(d)).foreach { case (x, y) => assert(math.abs(x - y) < 1e-12) }
+    }
+    // entropy path is collect-free in both models
+    assert(math.abs(mb.entropy(spark) - mj.entropy(spark)) < 1e-12)
+  }
+
   test("GSDMM is deterministic across partitionings") {
     val m1 = new GSDMM(2, seed = 7L).train(spark, bow(2), 12, numIters = 3)
     val m2 = new GSDMM(2, seed = 7L).train(spark, bow(9), 12, numIters = 3)
@@ -96,6 +118,38 @@ class TopicsSpec extends SparkSpec {
     assert(math.abs(got - entropy) < 1e-9, s"got=$got want=$entropy")
     // relative entropy normalizes by ln(k)
     assert(math.abs(m.relativeEntropy(spark) - entropy / math.log(k)) < 1e-9)
+  }
+
+  test("GSDMM unbounded-vocab join path matches the broadcast path exactly") {
+    // broadcastCeiling = 1 forces the word-keyed counter-join path (the
+    // K×V table never collected); both paths must walk the identical
+    // hash-seeded Gibbs trajectory — bit-equal probabilities, same topics
+    val mb = new GSDMM(2, seed = 7L).train(spark, bow(4), 12, numIters = 4)
+    val mj = new GSDMM(2, seed = 7L, broadcastCeiling = 1L)
+      .train(spark, bow(4), 12, numIters = 4)
+    assert(mb.countersCollected && !mj.countersCollected)
+    assert(mj.topicWordCount.isEmpty, "K×V table not collected on join path")
+    assert(mb.assignments.as[(Long, Int)].collect().toMap
+      == mj.assignments.as[(Long, Int)].collect().toMap)
+    // K-sized counters agree
+    assert(mb.topicDocCount.toSeq == mj.topicDocCount.toSeq)
+    assert(mb.topicWordSum.toSeq == mj.topicWordSum.toSeq)
+    // distributed entropy and memberships agree across counter strategies
+    assert(math.abs(mb.entropy(spark) - mj.entropy(spark)) < 1e-12)
+    val membB = mb.inferMemberships(spark).as[(Long, Seq[Double])].collect().toMap
+    val membJ = mj.inferMemberships(spark).as[(Long, Seq[Double])].collect().toMap
+    assert(membB.keySet == membJ.keySet)
+    membB.foreach { case (d, p) =>
+      p.zip(membJ(d)).foreach { case (x, y) => assert(math.abs(x - y) < 1e-12) }
+    }
+    // driver-side single-doc infer is fail-loud on the unbounded-vocab path
+    intercept[IllegalArgumentException] { mj.infer(Seq((0, 1))) }
+  }
+
+  test("GSDMM entropy of an empty docs table is 0, not NPE") {
+    val m = new GSDMM(2, seed = 7L).train(spark, bow(4), 12, numIters = 1)
+    val empty = m.copy(docs = m.docs.where(lit(false)), numDocs = 0L)
+    assert(empty.entropy(spark) == 0.0)
   }
 
   test("GSDMM clusters the planted topics (one topic per doc)") {

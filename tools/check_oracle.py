@@ -4,6 +4,8 @@ import pyarrow.parquet as pq
 sf = '/root/testdata/sf0.01'
 out = '/tmp/verify_out'
 con = duckdb.connect()
+con.execute("SET memory_limit='16GB'")
+con.execute("SET temp_directory='/tmp/ducktmp'")
 for t in ['region','nation','customer','supplier','part','orders','lineitem','events','documents','embeddings']:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
 
