@@ -88,16 +88,24 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_PINNED_PASSES", "1").toInt
     val pinnedPages =
       sys.env.getOrElse("SPARK_GRAFT_PINNED_PAGES", "10000000").toLong
+    def campaignLine(coresA: Int, coresB: Int, key: String): String = {
+      val buf = new java.io.ByteArrayOutputStream()
+      val median = Console.withOut(new java.io.PrintStream(buf)) {
+        ScalingProbe.pinnedCampaign(pinnedPages, coresA, coresB, prIters,
+          pinnedPasses, reps = 2)
+      }
+      val line = buf.toString.linesIterator
+        .find(_.contains("pinned_campaign")).getOrElse("null")
+      if (median.isDefined) s""","$key":$line""" else ""
+    }
     val pinnedJson =
       if (scaling && pinnedPasses > 0) {
-        val buf = new java.io.ByteArrayOutputStream()
-        val median = Console.withOut(new java.io.PrintStream(buf)) {
-          ScalingProbe.pinnedCampaign(pinnedPages, 8, cpus, prIters,
-            pinnedPasses, reps = 2)
-        }
-        val line = buf.toString.linesIterator
-          .find(_.contains("pinned_campaign")).getOrElse("null")
-        if (median.isDefined) s""","scaling_pinned":$line""" else ""
+        // saturating pair (8 vs all cores) + unsaturated pair (4 vs 16):
+        // on one host only the 4N leg of the first pair saturates the
+        // machine, so the second pair is the fair N-vs-4N regime —
+        // BENCH.md "Reading the two tables together"
+        campaignLine(8, cpus, "scaling_pinned") +
+          (if (cpus >= 16) campaignLine(4, 16, "scaling_pinned_unsat") else "")
       } else ""
     val campaignFile = new java.io.File("tools/scaling_pinned_r3.json")
     val campaignJson =

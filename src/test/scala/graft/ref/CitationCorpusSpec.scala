@@ -128,6 +128,22 @@ class CitationCorpusSpec extends SparkSpec {
     }
   }
 
+  test("tfidf extracts title candidates once, shared by tf and idf") {
+    // the candidates frame is localCheckpoint'd before fan-out, so the
+    // keyphrase-extraction UDF over MAIN titles never appears in the tfidf
+    // plan at all — both factors read the checkpointed RDD; the only UDF
+    // application left is the aux (referenced-title) branch
+    val plan = CitationCorpus.tfidf(nodesDF, edgesDF)
+      .queryExecution.executedPlan.toString
+    val rddScans = plan.linesIterator.count(_.contains("Scan ExistingRDD"))
+    assert(rddScans >= 2, s"expected checkpointed candidate scans:\n${plan.take(1500)}")
+    // exactly ONE extraction site (aux refs); a per-factor re-extraction
+    // would show 2+ generator/UDF applications over a title column
+    val gens = plan.linesIterator.count(l =>
+      l.contains("Generate explode") && l.contains("UDF"))
+    assert(gens <= 1, s"extractor re-run in the plan ($gens sites)")
+  }
+
   test("simTFIDF with empty similarity equals greedy-deduped tfidf") {
     val emptySims = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
