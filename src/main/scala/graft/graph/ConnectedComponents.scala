@@ -38,57 +38,114 @@ object ConnectedComponents {
     *                        most `checkpointEvery` supersteps of recompute —
     *                        `localCheckpoint` blocks are executor-local and
     *                        die with the executor, so long runs on a real
-    *                        cluster need a reliable-commit cadence. */
+    *                        cluster need a reliable-commit cadence. Commits
+    *                        land on the first block boundary at or past each
+    *                        cadence multiple, plus always at convergence.
+    * @param stepsPerJob     supersteps chained lazily per Spark job (the
+    *                        PageRank block-fusion cadence): amortizes the
+    *                        per-job fixed cost k-fold; safe because min
+    *                        propagation is monotone — a block that changes
+    *                        nothing proves the fixpoint was already reached,
+    *                        so block-granular convergence stops at the same
+    *                        labels as step-granular.
+    *
+    * Superstep shape: the state frame is consumed exactly ONCE per
+    * superstep — the edge table carries an explicit self-loop per vertex,
+    * so `min(own, neighbors)` is a single `edges ⋈ state → groupBy(dst)
+    * min` with no join-back (the join-back form references the uncached
+    * state twice, which under lazy block fusion doubles the subplan per
+    * chained step — exponential in the block size). One exchange per
+    * superstep: the state arrives partitioned on vid from the previous
+    * aggregate, the edge side is cached pre-partitioned on src, and only
+    * the `groupBy(dst)` shuffles. The block-end changed-count rides the
+    * SAME job as the lazy lineage truncation (one action per block, not
+    * two). AQE is scoped off as in [[PageRank.run]]: runtime coalescing
+    * would re-derive the exchange's partition count from small samples and
+    * break the superstep-to-superstep co-partitioning. */
   def hashMin(
       spark: SparkSession,
       edges: DataFrame,
       maxIters: Int = 100,
       checkpointTable: String = null,
-      checkpointEvery: Int = 1): DataFrame = {
+      checkpointEvery: Int = 1,
+      stepsPerJob: Int = 1): DataFrame = {
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try hashMinInternal(spark, edges, maxIters, checkpointTable,
+      checkpointEvery, stepsPerJob)
+    finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
+
+  private def hashMinInternal(
+      spark: SparkSession,
+      edges: DataFrame,
+      maxIters: Int,
+      checkpointTable: String,
+      checkpointEvery: Int,
+      stepsPerJob: Int): DataFrame = {
     val ckpt = Option(checkpointTable).filter(_.nonEmpty)
     // symmetrize ends in distinct() = hash partitioning on (src, dst),
     // which does NOT satisfy the per-iteration join's clustering on src —
     // without the explicit src repartition every superstep re-shuffles
     // the full 2|E| edge table. Partition+sort once, cache, reuse.
-    val sym = symmetrize(edges)
+    // A self-loop per vertex is unioned in BEFORE the layout: it feeds each
+    // vertex its own component through the same aggregate that feeds it the
+    // neighbors' (single-use state — see scaladoc), at +|V| rows on 2|E|.
+    val symBase = symmetrize(edges)
+    val vertices = symBase.select(col("src").as("vid")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sym = symBase
+      .union(vertices.select(col("vid").as("src"), col("vid").as("dst")))
       .repartition(col("src"))
       .sortWithinPartitions("src", "dst")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val vertices = sym.select(col("src").as("vid")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val (startStep, start) = ckpt.flatMap(TableIO.read(spark, _)) match {
       case Some((meta, df)) => (meta.step.toInt + 1, df)
       case None => (0, vertices.withColumn("component", col("vid")))
     }
+
+    // one chained superstep over (vid, component, prev): candidate = min
+    // over in-neighbors ∪ self (the self-loop row); `prev` (the block-start
+    // label) rides along on the self-loop row for the block-end
+    // convergence check. Symmetrize drops genuine self-edges, so
+    // src = dst identifies the added loops exactly.
+    def superstep(st: DataFrame): DataFrame = sym
+      .join(st.select(col("vid").as("src"), col("component"), col("prev")), "src")
+      .groupBy(col("dst").as("vid"))
+      .agg(min(col("component")).as("component"),
+        max(when(col("src") === col("dst"), col("prev"))).as("prev"))
+
     var labels = start.localCheckpoint(true)
     var step = startStep
     var changed = 1L
+    val cadence = math.max(1, checkpointEvery)
+    var nextCommitRel = 0L
     while (step < maxIters && changed > 0) {
-      // candidate = min(own component, min over in-neighbors' component)
-      val nbrMin = sym
-        .join(labels.withColumnRenamed("vid", "src"), "src")
-        .groupBy(col("dst").as("vid"))
-        .agg(min(col("component")).as("nbrMin"))
-      val next = labels
-        .join(nbrMin, Seq("vid"), "left")
-        .select(col("vid"),
-          least(col("component"), coalesce(col("nbrMin"), col("component")))
-            .as("component"),
-          col("component").as("prev"))
-        .localCheckpoint(true) // truncate lineage per superstep
+      val block = math.min(math.max(1, stepsPerJob), maxIters - step)
+      var cur = labels.withColumn("prev", col("component"))
+      var i = 0
+      while (i < block) { cur = superstep(cur); i += 1 }
+      // ONE job per block: the LAZY localCheckpoint materializes while the
+      // changed-count scans it (the eager checkpoint + separate count was
+      // two full actions per superstep — the CC fixed-cost regression)
+      val next = cur.localCheckpoint(false)
       changed = next.where(col("component") =!= col("prev")).count()
+      val endStep = step + block - 1
       val result = next.select("vid", "component")
-      // commit on the cadence, plus always at convergence (the final state
-      // must land durably even when the cadence would skip it)
+      // commit on the cadence (block-boundary granular), plus always at
+      // convergence / the final step — the final state must land durably
+      // even when the cadence would skip it
       ckpt.foreach { t =>
-        if ((step - startStep) % math.max(1, checkpointEvery) == 0 ||
-            changed == 0L || step == maxIters - 1)
-          TableIO.commit(result, t, step, Map("changed" -> changed.toDouble))
+        val endRel = endStep - startStep
+        if (endRel >= nextCommitRel || changed == 0L || endStep >= maxIters - 1) {
+          TableIO.commit(result, t, endStep, Map("changed" -> changed.toDouble))
+          nextCommitRel = (endRel / cadence + 1) * cadence
+        }
       }
       labels.unpersist()
       labels = result
-      step += 1
+      step += block
     }
     sym.unpersist(); vertices.unpersist()
     labels

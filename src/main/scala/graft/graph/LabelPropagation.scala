@@ -20,36 +20,73 @@ import graft.io.TableIO
   * communities (:3236-3259), label histograms (:3886-3896) — generalized to
   * the synchronous propagation fixpoint.
   *
-  * The per-vertex mode is computed as `groupBy(vid, label).count` followed
-  * by a `row_number` window ordered `(count DESC, label ASC)` — both stages
-  * shuffle on `vid`, so AQE reuses the exchange; no driver-side state.
+  * The per-vertex mode is computed as `groupBy(vid, label)` vote counts
+  * (self-loops vote with weight 0 — see the layout comment) followed by a
+  * `row_number` window ordered `(count DESC, label ASC)`; no driver-side
+  * state, no join-back to the state frame. AQE is scoped off as in
+  * [[PageRank.run]] so the superstep exchanges keep a stable partition
+  * count across iterations.
   */
 object LabelPropagation {
 
   /** @param checkpointEvery TableIO commit cadence in supersteps (with
     *                        checkpointTable set) — see
     *                        [[ConnectedComponents.hashMin]]. The final
-    *                        superstep always commits. */
+    *                        superstep always commits.
+    * @param stepsPerJob     supersteps chained lazily per Spark job (the
+    *                        PageRank block-fusion cadence) — amortizes the
+    *                        per-job fixed cost (job scheduling + the |V|-row
+    *                        state materialization) k-fold; the fixed
+    *                        iteration count makes fusion trajectory-exact. */
   def run(
       spark: SparkSession,
       edges: DataFrame,
       numIters: Int = 10,
       seedLabels: DataFrame = null, // (vid, label); default = vid
       checkpointTable: String = null,
-      checkpointEvery: Int = 1): DataFrame = {
-    val ckpt = Option(checkpointTable).filter(_.nonEmpty)
+      checkpointEvery: Int = 1,
+      stepsPerJob: Int = 1): DataFrame = {
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try runInternal(spark, edges, numIters, seedLabels, ckptOpt = checkpointTable,
+      checkpointEvery = checkpointEvery, stepsPerJob = stepsPerJob)
+    finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
+
+  private def runInternal(
+      spark: SparkSession,
+      edges: DataFrame,
+      numIters: Int,
+      seedLabels: DataFrame,
+      ckptOpt: String,
+      checkpointEvery: Int,
+      stepsPerJob: Int): DataFrame = {
+    val ckpt = Option(ckptOpt).filter(_.nonEmpty)
     // src-partition + sort ONCE before caching (CSR layout): distinct()'s
     // (src,dst) hash partitioning would force a full edge re-shuffle in
-    // every iteration's join on src
-    val sym = ConnectedComponents.symmetrize(edges)
+    // every iteration's join on src. A flagged self-loop per vertex rides
+    // in the same cached table: it delivers each vertex its own label with
+    // vote weight 0 through the SAME aggregate that counts the neighbors'
+    // votes — the state frame is consumed exactly once per superstep, so
+    // lazy block fusion (stepsPerJob) never duplicates the chained subplan
+    // (see [[ConnectedComponents.hashMin]]).
+    val symBase = ConnectedComponents.symmetrize(edges)
+    val vertices = symBase.select(col("src").as("vid")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sym = symBase.select(col("src"), col("dst"), lit(0).as("self"))
+      .union(vertices.select(col("vid").as("src"), col("vid").as("dst"),
+        lit(1).as("self")))
       .repartition(col("src"))
       .sortWithinPartitions("src", "dst")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val vertices = sym.select(col("src").as("vid")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // seeds are aligned to the graph's vertex set: unlabeled vertices start
+    // at their own vid, seed rows for vids outside the graph are dropped
+    // (the propagation domain is the graph)
     val init = Option(seedLabels)
-      .map(_.select(col("vid"), col("label")))
+      .map(s => vertices
+        .join(s.select(col("vid"), col("label").as("seed")), Seq("vid"), "left")
+        .select(col("vid"), coalesce(col("seed"), col("vid")).as("label")))
       .getOrElse(vertices.withColumn("label", col("vid")))
 
     val (startStep, start) = ckpt.flatMap(TableIO.read(spark, _)) match {
@@ -57,30 +94,44 @@ object LabelPropagation {
       case None => (0, init)
     }
 
-    var labels = start.localCheckpoint(true)
-    var step = startStep
-    while (step < numIters) {
+    // one chained superstep: each vertex adopts its in-neighbors' modal
+    // label (ties to the minimum), keeps its own when isolated — the
+    // self-loop contributes the own label at vote weight 0, so it wins
+    // exactly when no labeled in-neighbor exists
+    def superstep(st: DataFrame): DataFrame = {
       val counts = sym
-        .join(labels.withColumnRenamed("vid", "src"), "src")
+        .join(st.select(col("vid").as("src"), col("label")), "src")
         .groupBy(col("dst").as("vid"), col("label"))
-        .agg(count(lit(1)).as("cnt"))
+        .agg(sum(lit(1) - col("self")).as("cnt"))
       val w = Window.partitionBy("vid").orderBy(desc("cnt"), asc("label"))
-      val mode = counts
+      counts
         .withColumn("rn", row_number().over(w))
         .where(col("rn") === 1)
-        .select(col("vid"), col("label").as("newLabel"))
-      val next = labels
-        .join(mode, Seq("vid"), "left")
-        .select(col("vid"), coalesce(col("newLabel"), col("label")).as("label"))
-        .localCheckpoint(true) // truncate lineage per superstep
+        .select(col("vid"), col("label"))
+    }
+
+    var labels = start.localCheckpoint(true)
+    var step = startStep
+    val cadence = math.max(1, checkpointEvery)
+    var nextCommitRel = 0L
+    while (step < numIters) {
+      val block = math.min(math.max(1, stepsPerJob), numIters - step)
+      var cur = labels
+      var i = 0
+      while (i < block) { cur = superstep(cur); i += 1 }
+      val next = cur.localCheckpoint(true) // truncate lineage per block
+      val endStep = step + block - 1
+      // commit on the cadence (block-boundary granular) + forced final
       ckpt.foreach { t =>
-        if ((step - startStep) % math.max(1, checkpointEvery) == 0 ||
-            step == numIters - 1)
-          TableIO.commit(next, t, step, Map.empty)
+        val endRel = endStep - startStep
+        if (endRel >= nextCommitRel || endStep == numIters - 1) {
+          TableIO.commit(next, t, endStep, Map.empty)
+          nextCommitRel = (endRel / cadence + 1) * cadence
+        }
       }
       labels.unpersist()
       labels = next
-      step += 1
+      step += block
     }
     sym.unpersist(); vertices.unpersist()
     labels

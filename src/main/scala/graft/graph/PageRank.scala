@@ -277,6 +277,22 @@ object PageRank {
       st = newSt
       step += block
     }
+    // a convergence exit (delta < tol) between cadence boundaries must still
+    // commit the final ranks — TableIO readers otherwise see stale state
+    // (mirrors hashMin's always-commit-at-convergence; a maxIters exit keeps
+    // the cadence contract so partial runs resume from the cadence point)
+    ckpt.foreach { t =>
+      if (delta < tol && step - 1 > lastCommitted) {
+        val danglingMass =
+          if (!hasDanglers) 0.0
+          else st.where(col("outDeg") === 0)
+            .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
+        TableIO.commit(st.select(col("vid"), col("rank")), t, step - 1,
+          Map("delta" -> delta, "danglingMass" -> danglingMass,
+            "vertices" -> n.toDouble, "finalCommit" -> 1.0))
+        lastCommitted = step - 1
+      }
+    }
     // NOTE: the prepared graph (e, vertDeg) is NOT unpersisted here — it is
     // owned by the caller ([[run]] unpersists its own; [[runPrepared]]
     // callers reuse it across invocations). The returned ranks are

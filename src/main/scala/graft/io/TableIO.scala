@@ -163,7 +163,10 @@ object TableIO {
       case Some(h) =>
         var id = h
         while (fs.exists(manifestPath(table, id + 1))) id += 1
-        readManifest(table, id)
+        // a corrupt/too-high HEAD (or pruned manifests) must not hide older
+        // committed snapshots — fall back to the listing before concluding
+        // the table is empty
+        readManifest(table, id).orElse(history(table).lastOption)
       case None => history(table).lastOption
     }
   }

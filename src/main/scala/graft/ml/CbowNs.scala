@@ -32,10 +32,14 @@ import graft.ingest.Pages.mix
   *    word2vec memory model (wego is single-machine for the same reason).
   *    `vocabCeiling` fails loudly before an OOM; the fix is `minCount`.
   *  - all randomness (init, window shrink, negative draws, subsampling) is
-  *    counter-mode hash of `(seed, doc, pos, epoch, …)` — reproducible by
-  *    construction for a fixed partition count (sequential-SGD averaging is
-  *    inherently partition-count-sensitive; runs with the same `parts` are
-  *    bit-identical, asserted by the spec).
+  *    counter-mode hash of `(seed, doc, pos, epoch, …)` — every gradient a
+  *    partition computes is reproducible by construction for a fixed
+  *    partition count (sequential-SGD averaging is inherently
+  *    partition-count-sensitive). Same-`parts` reruns are bit-identical in
+  *    local mode (spec-asserted); on a real cluster the per-epoch delta
+  *    merge sums partition contributions in shuffle-fetch order, so float
+  *    non-associativity can perturb low-order bits run-to-run — the
+  *    guarantee there is deterministic gradients, not a bit-exact model.
   */
 class CbowNs(
     val dim: Int = 100,

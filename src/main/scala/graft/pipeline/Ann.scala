@@ -125,14 +125,22 @@ object Ann {
     * the wire exactly once, re-attached per side AFTER the candidate set
     * is deduped. */
   def lshTopK(data: DataFrame, k: Int, numPlanes: Int = 8,
-      numTables: Int = 2): DataFrame = {
+      numTables: Int = 2, maxBucketSize: Long = 0L): DataFrame = {
     // signatures project the vector away before anything shuffles
-    val sigs = (0 until numTables).map { t =>
+    val sigs0 = (0 until numTables).map { t =>
       data.select(col("id"),
         lit(t).as("table"),
         hyperplaneSignature(col("vec"), numPlanes, planeOffset = t * numPlanes)
           .as("bucket"))
     }.reduce(_ union _)
+    // hot-bucket cap (off by default): a degenerate bucket — near-dup-heavy
+    // corpora where many vectors share a signature — makes the self-join
+    // quadratic in that bucket. Dropping oversized buckets bounds every
+    // bucket's pair count by maxBucketSize² at a recall cost confined to
+    // the dropped buckets (the other tables still cover their members);
+    // mirrors Dedup.ngramJaccard's maxGramDf semantics. Document the cap
+    // when reporting recall.
+    val sigs = capBuckets(sigs0, Seq("table", "bucket"), maxBucketSize)
     // candidate PAIRS, deduped across tables/buckets — ids only
     val pairs = sigs.as("a").join(sigs.as("b"),
         col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket")
@@ -150,16 +158,43 @@ object Ann {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Drop buckets larger than `maxBucketSize` via a left-anti against the
+    * oversized key set (no-op when the cap is 0/negative — the exact path).
+    * Declarative (no driver action), so the cap costs one aggregation. */
+  private def capBuckets(sigs: DataFrame, keys: Seq[String],
+      maxBucketSize: Long): DataFrame =
+    if (maxBucketSize <= 0L) sigs
+    else {
+      val hot = sigs.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("bsz"))
+        .where(col("bsz") > maxBucketSize)
+        .select(keys.map(col): _*)
+      sigs.join(hot, keys, "left_anti")
+    }
+
   /** Embedding-cosine near-duplicate pairs above a threshold (the fifth
-    * dedup mode): LSH candidates -> exact cosine filter. */
+    * dedup mode): LSH candidates -> exact cosine filter.
+    *
+    * Shuffle discipline (same as [[lshTopK]]): the bucket self-join runs
+    * over bare `(id, bucket)` rows — each id has exactly one bucket, so the
+    * pair set needs no dedup — and the embeddings are scanned once per side
+    * and attached only to surviving pairs. At 768-d the previous
+    * vectors-through-the-self-join shape dominated shuffle bytes.
+    * `maxBucketSize` bounds a degenerate bucket's quadratic blow-up
+    * (off by default — see [[lshTopK]]). */
   def cosineNearDups(data: DataFrame, threshold: Double,
-      numPlanes: Int = 8): DataFrame = {
-    val sig = data.select(col("id"), col("vec"),
+      numPlanes: Int = 8, maxBucketSize: Long = 0L): DataFrame = {
+    val sig0 = data.select(col("id"),
       hyperplaneSignature(col("vec"), numPlanes).as("bucket"))
-    sig.as("a").join(sig.as("b"),
+    val sig = capBuckets(sig0, Seq("bucket"), maxBucketSize)
+    val pairs = sig.as("a").join(sig.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"),
-        cosine(col("a.vec"), col("b.vec")).as("sim"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+    val v = data.select(col("id"), col("vec"))
+    pairs
+      .join(v.select(col("id").as("id1"), col("vec").as("v1")), "id1")
+      .join(v.select(col("id").as("id2"), col("vec").as("v2")), "id2")
+      .select(col("id1"), col("id2"), cosine(col("v1"), col("v2")).as("sim"))
       .where(col("sim") >= threshold)
   }
 }

@@ -182,19 +182,41 @@ class GSDMM(
       }
   }
 
-  def train(spark: SparkSession, bow: DataFrame, numWords: Int, numIters: Int)
+  /** @param checkpointTable [[graft.io.TableIO]] table for durable
+    *                        per-iteration Gibbs state `(doc, words, nWords,
+    *                        topic)` — `localCheckpoint` blocks are
+    *                        executor-local and die with the executor, so a
+    *                        50-iteration run on a real cluster needs a
+    *                        reliable-commit cadence; a rerun against the
+    *                        same table resumes at the committed iteration
+    *                        with an identical trajectory (the RNG is
+    *                        counter-mode on the absolute iteration).
+    * @param checkpointEvery commit cadence in iterations; the final
+    *                        iteration always commits. */
+  def train(spark: SparkSession, bow: DataFrame, numWords: Int, numIters: Int,
+      checkpointTable: String = null, checkpointEvery: Int = 1)
       : GSDMMModel = {
     import spark.implicits._
 
-    var docs: Dataset[DocRow] = bow
-      .select(col("doc").cast("long"), col("word").cast("int"), col("cnt").cast("int"))
-      .as[(Long, Int, Int)]
-      .groupByKey(_._1)
-      .mapGroups { (doc, it) =>
-        val ws = it.map(r => (r._2, r._3)).toSeq.sortBy(_._1)
-        (doc, ws, ws.map(_._2).sum,
-          math.floorMod(rngHash(doc, -1), numTopics).toInt)
-      }.localCheckpoint(true)
+    val ckpt = Option(checkpointTable).filter(_.nonEmpty)
+    val resumed = ckpt.flatMap(graft.io.TableIO.read(spark, _))
+    val startIter = resumed.map(_._1.step.toInt + 1).getOrElse(0)
+
+    var docs: Dataset[DocRow] = resumed match {
+      case Some((_, df)) =>
+        df.select(col("doc").as("_1"), col("words").as("_2"),
+            col("nWords").as("_3"), col("topic").as("_4"))
+          .as[DocRow].localCheckpoint(true)
+      case None => bow
+        .select(col("doc").cast("long"), col("word").cast("int"), col("cnt").cast("int"))
+        .as[(Long, Int, Int)]
+        .groupByKey(_._1)
+        .mapGroups { (doc, it) =>
+          val ws = it.map(r => (r._2, r._3)).toSeq.sortBy(_._1)
+          (doc, ws, ws.map(_._2).sum,
+            math.floorMod(rngHash(doc, -1), numTopics).toInt)
+        }.localCheckpoint(true)
+    }
 
     val numDocs = docs.count()
     val useJoin = numWords.toLong * numTopics > broadcastCeiling
@@ -224,7 +246,9 @@ class GSDMM(
       (tdc, twc, tws)
     }
 
-    (0 until numIters).foreach { iter =>
+    val cadence = math.max(1, checkpointEvery)
+    var nextCommitRel = 0
+    (startIter until numIters).foreach { iter =>
       if (!useJoin) {
         val (tdc, twc, tws) = countersOf(docs)
         val tdcB = spark.sparkContext.broadcast(tdc)
@@ -248,6 +272,15 @@ class GSDMM(
             (pos, t) => wct(pos)(t), twsB.value, numDocs, nw)
           (doc, ws, nInDoc, kNew)
         }.localCheckpoint(true)
+      }
+      // durable Gibbs state on the cadence + forced final commit
+      ckpt.foreach { t =>
+        val rel = iter - startIter
+        if (rel >= nextCommitRel || iter == numIters - 1) {
+          graft.io.TableIO.commit(
+            docs.toDF("doc", "words", "nWords", "topic"), t, iter, Map.empty)
+          nextCommitRel = rel / cadence * cadence + cadence
+        }
       }
     }
 

@@ -82,26 +82,49 @@ class LDA(
     *    per superstep buys an unbounded vocab — at 1e8 terms × 100 topics
     *    the broadcast variant would OOM the driver.
     * Only the K-sized TopicCountSum is always collected (K is tiny). */
-  def train(spark: SparkSession, bow: DataFrame, numWords: Int, numIters: Int)
+  /** @param checkpointTable [[graft.io.TableIO]] table for durable
+    *                        per-iteration assignments `(doc, word, occ,
+    *                        topic)` — the reliable-commit cadence for long
+    *                        Gibbs runs on a real cluster (localCheckpoint
+    *                        blocks die with their executor); a rerun against
+    *                        the same table resumes at the committed
+    *                        iteration with an identical trajectory (RNG is
+    *                        counter-mode on the absolute iteration).
+    * @param checkpointEvery commit cadence in iterations; the final
+    *                        iteration always commits. */
+  def train(spark: SparkSession, bow: DataFrame, numWords: Int, numIters: Int,
+      checkpointTable: String = null, checkpointEvery: Int = 1)
       : LDAModel = {
     import spark.implicits._
     val nw = numWords.toDouble
     val lda = this
 
+    val ckpt = Option(checkpointTable).filter(_.nonEmpty)
+    val resumed = ckpt.flatMap(graft.io.TableIO.read(spark, _))
+    val startIter = resumed.map(_._1.step.toInt + 1).getOrElse(0)
+
     // explode occurrences; init topic = seeded hash (reference: rand.Intn)
-    var assigns: Dataset[(Long, Int, Int, Int)] = bow
-      .select(col("doc").cast("long"), col("word").cast("int"), col("cnt").cast("int"))
-      .as[(Long, Int, Int)]
-      .flatMap { case (doc, word, cnt) =>
-        (0 until cnt).map { occ =>
-          (doc, word, occ, math.floorMod(rngHash(doc, word, occ, -1), numTopics).toInt)
-        }
-      }.localCheckpoint(true)
+    var assigns: Dataset[(Long, Int, Int, Int)] = resumed match {
+      case Some((_, df)) =>
+        df.select(col("doc").as("_1"), col("word").as("_2"),
+            col("occ").as("_3"), col("topic").as("_4"))
+          .as[(Long, Int, Int, Int)].localCheckpoint(true)
+      case None => bow
+        .select(col("doc").cast("long"), col("word").cast("int"), col("cnt").cast("int"))
+        .as[(Long, Int, Int)]
+        .flatMap { case (doc, word, cnt) =>
+          (0 until cnt).map { occ =>
+            (doc, word, occ, math.floorMod(rngHash(doc, word, occ, -1), numTopics).toInt)
+          }
+        }.localCheckpoint(true)
+    }
 
     val useJoin = numWords.toLong * numTopics > broadcastCeiling
     val k = numTopics
 
-    (0 until numIters).foreach { iter =>
+    val cadence = math.max(1, checkpointEvery)
+    var nextCommitRel = 0
+    (startIter until numIters).foreach { iter =>
       val topicSum = assigns.groupByKey(_._4).count().collect().toMap
       val tsB = spark.sparkContext.broadcast(topicSum)
 
@@ -150,6 +173,15 @@ class LDA(
             (d, w, o, kNew)
           }.iterator
         }.localCheckpoint(true)
+      }
+      // durable Gibbs state on the cadence + forced final commit
+      ckpt.foreach { t =>
+        val rel = iter - startIter
+        if (rel >= nextCommitRel || iter == numIters - 1) {
+          graft.io.TableIO.commit(
+            assigns.toDF("doc", "word", "occ", "topic"), t, iter, Map.empty)
+          nextCommitRel = rel / cadence * cadence + cadence
+        }
       }
     }
 

@@ -216,4 +216,87 @@ class GraphKernelsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(la == lb)
   }
+
+  test("CC/LP block fusion: stepsPerJob results identical to unfused") {
+    fixtures.foreach { case (name, edges) =>
+      val cc1 = ConnectedComponents.hashMin(spark, edgeDF(edges))
+        .as[(Long, Long)].collect().toMap
+      val cc3 = ConnectedComponents.hashMin(spark, edgeDF(edges), stepsPerJob = 3)
+        .as[(Long, Long)].collect().toMap
+      assert(cc1 == cc3, s"$name cc fused")
+      val lp1 = LabelPropagation.run(spark, edgeDF(edges), numIters = 5)
+        .as[(Long, Long)].collect().toMap
+      val lp3 = LabelPropagation.run(spark, edgeDF(edges), numIters = 5,
+        stepsPerJob = 3).as[(Long, Long)].collect().toMap
+      assert(lp1 == lp3, s"$name lp fused")
+    }
+  }
+
+  test("CC superstep fusion actually cuts Spark jobs (changed-count folded)") {
+    val sc = spark.sparkContext
+    val edges = Referee.zipf(300, 1200, 21L)
+    def jobsOf(group: String)(body: => Unit): Int = {
+      sc.setJobGroup(group, group)
+      try body finally sc.clearJobGroup()
+      sc.statusTracker.getJobIdsForGroup(group).length
+    }
+    val unfused = jobsOf("cc_unfused") {
+      ConnectedComponents.hashMin(spark, edgeDF(edges)).count()
+    }
+    val fused = jobsOf("cc_fused") {
+      ConnectedComponents.hashMin(spark, edgeDF(edges), stepsPerJob = 4).count()
+    }
+    assert(fused < unfused,
+      s"stepsPerJob=4 should run fewer jobs ($fused) than unfused ($unfused)")
+    val lpUnfused = jobsOf("lp_unfused") {
+      LabelPropagation.run(spark, edgeDF(edges), numIters = 6).count()
+    }
+    val lpFused = jobsOf("lp_fused") {
+      LabelPropagation.run(spark, edgeDF(edges), numIters = 6, stepsPerJob = 3).count()
+    }
+    assert(lpFused < lpUnfused,
+      s"LP stepsPerJob=3 should run fewer jobs ($lpFused) than unfused ($lpUnfused)")
+  }
+
+  test("fused CC/LP + checkpointing: block-boundary commits, final durable") {
+    import graft.io.TableIO
+    val edges = Referee.zipf(150, 600, 13L)
+    val t1 = tmpDir("cc_fused_ckpt")
+    val cc = ConnectedComponents.hashMin(spark, edgeDF(edges),
+      checkpointTable = t1, checkpointEvery = 3, stepsPerJob = 2)
+    val h1 = TableIO.history(t1).map(_.step)
+    // first block (steps 0-1) covers cadence point 0 -> first commit at 1;
+    // thereafter every boundary at/past a multiple of 3, gap ≤ cadence+block
+    assert(h1.nonEmpty && h1.head == 1L, s"history $h1")
+    assert(h1.zip(h1.tail).forall { case (a, b) => b - a <= 5 }, s"history $h1")
+    val (_, back1) = TableIO.read(spark, t1).get
+    assert(back1.as[(Long, Long)].collect().toMap
+      == cc.as[(Long, Long)].collect().toMap)
+
+    // LP: 5 iters, cadence 2, blocks of 2 -> boundaries 1,3,4; commits 1,3,4
+    val t2 = tmpDir("lp_fused_ckpt")
+    val lp = LabelPropagation.run(spark, edgeDF(edges), numIters = 5,
+      checkpointTable = t2, checkpointEvery = 2, stepsPerJob = 2)
+    assert(TableIO.history(t2).map(_.step) == Seq(1L, 3L, 4L))
+    val (m2, back2) = TableIO.read(spark, t2).get
+    assert(m2.step == 4L)
+    assert(back2.as[(Long, Long)].collect().toMap
+      == lp.as[(Long, Long)].collect().toMap)
+  }
+
+  test("PageRank convergence exit commits final ranks even off-cadence") {
+    import graft.io.TableIO
+    val edges = Referee.zipf(150, 600, 17L)
+    val t = tmpDir("pr_conv_commit")
+    val r = PageRank.run(spark, edgeDF(edges), tol = 1e-4, maxIters = 200,
+      checkpointTable = t, checkpointEvery = 7)
+    assert(r.delta < 1e-4, "run must exit via convergence for this test")
+    val (m, back) = TableIO.read(spark, t).get
+    assert(m.step == r.supersteps - 1,
+      s"HEAD step ${m.step} must be the converged step ${r.supersteps - 1}")
+    val committed = back.as[(Long, Double)].collect().toMap
+    r.ranks.as[(Long, Double)].collect().foreach { case (v, x) =>
+      assert(committed(v) == x, s"committed rank differs at vid=$v")
+    }
+  }
 }

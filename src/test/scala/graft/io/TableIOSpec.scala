@@ -63,6 +63,13 @@ class TableIOSpec extends SparkSpec {
     // and the next commit chains correctly off the recovered snapshot
     val m2 = TableIO.commit(Seq((1L, 3.0)).toDF("vid", "rank"), dir, step = 2)
     assert(m2.snapshotId == 2L && m2.parentId.contains(1L))
+
+    // corrupt HEAD pointing ABOVE any committed manifest (or manifests
+    // pruned below the hint): the forward probe finds nothing at the hint —
+    // must fall back to the listing, not silently report an empty table
+    val out2 = fs.create(head, true)
+    out2.write("99".getBytes("UTF-8")); out2.close()
+    assert(TableIO.currentSnapshot(dir).map(_.snapshotId) == Some(2L))
   }
 
   test("a racing writer cannot silently clobber a committed snapshot") {

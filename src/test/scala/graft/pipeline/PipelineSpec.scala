@@ -133,6 +133,54 @@ class AnnSpec extends SparkSpec {
     assert(pairs.subsetOf(Set((0L, 1L), (2L, 3L), (4L, 5L))),
       s"only genuinely close pairs pass the exact filter: $pairs")
   }
+
+  test("cosine near-dups bucket self-join carries bare ids, not vectors") {
+    // the 768-d rule: embeddings are re-attached AFTER the pair set forms,
+    // so the bucket-keyed self-join's inputs must be vector-free
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val lp = Ann.cosineNearDups(vecs, threshold = 0.9, numPlanes = 4)
+      .queryExecution.optimizedPlan
+    val bucketJoins = lp.collect {
+      case j: Join if j.condition.exists(_.references.exists(
+        _.name.contains("bucket"))) => j
+    }
+    assert(bucketJoins.nonEmpty, "expected the bucket self-join")
+    bucketJoins.foreach { j =>
+      j.children.foreach { c =>
+        assert(!c.output.exists(a => a.name == "vec" || a.name.startsWith("v1")
+            || a.name.startsWith("v2")),
+          s"vector column feeds the bucket self-join: ${c.output.map(_.name)}")
+      }
+    }
+  }
+
+  test("hot-bucket cap bounds degenerate buckets, leaves small ones intact") {
+    // 30 identical vectors = one degenerate bucket in every table; 2 close
+    // vectors in an orthogonal direction = a small legitimate bucket
+    val dense = (0L until 30L).map(i => (i, Seq(1.0f, 0.0f, 0.0f, 0.0f)))
+    val small = Seq((100L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (101L, Seq(0.0f, 0.9f, 0.1f, 0.0f)))
+    val data = (dense ++ small).toDF("id", "vec")
+
+    val capped = Ann.lshTopK(data, k = 5, numPlanes = 4, numTables = 2,
+      maxBucketSize = 10).select("qid", "cid").as[(Long, Long)].collect()
+    // the dense bucket (30 > 10) is dropped: no pairs among ids 0-29
+    assert(!capped.exists { case (q, c) => q < 30L && c < 30L },
+      s"dense-bucket pairs must be dropped: ${capped.mkString(",")}")
+    // the small bucket (2 ≤ 10) survives
+    assert(capped.contains((100L, 101L)) && capped.contains((101L, 100L)),
+      s"small bucket must survive the cap: ${capped.mkString(",")}")
+    // cap off: the dense bucket's quadratic pair set is present
+    val uncapped = Ann.lshTopK(data, k = 5, numPlanes = 4, numTables = 2)
+      .select("qid", "cid").as[(Long, Long)].collect()
+    assert(uncapped.exists { case (q, c) => q < 30L && c < 30L })
+
+    // same knob on the near-dup path
+    val nd = Ann.cosineNearDups(data, threshold = 0.95, numPlanes = 4,
+      maxBucketSize = 10).select("id1", "id2").as[(Long, Long)].collect()
+    assert(!nd.exists { case (a, b) => a < 30L && b < 30L })
+    assert(nd.contains((100L, 101L)))
+  }
 }
 
 class MultimodalSpec extends SparkSpec {

@@ -165,4 +165,42 @@ class TopicsSpec extends SparkSpec {
     val p = m.infer(Seq((0, 2), (1, 2), (2, 1)))
     assert(math.abs(p.sum - 1.0) < 1e-9)
   }
+
+  test("GSDMM checkpointed training resumes mid-run with identical trajectory") {
+    import graft.io.TableIO
+    val t = tmpDir("gsdmm_ckpt")
+    // truth: 4 uninterrupted iterations
+    val full = new GSDMM(2, seed = 7L).train(spark, bow(3), 12, numIters = 4)
+    val want = full.docs.select("doc", "topic").as[(Long, Int)].collect().toMap
+    // crashed run: 2 iterations committed, then a fresh train call against
+    // the same table resumes at iteration 2 (absolute-iteration RNG)
+    new GSDMM(2, seed = 7L).train(spark, bow(3), 12, numIters = 2,
+      checkpointTable = t)
+    assert(TableIO.currentSnapshot(t).map(_.step) == Some(1L))
+    val resumed = new GSDMM(2, seed = 7L).train(spark, bow(3), 12, numIters = 4,
+      checkpointTable = t)
+    val got = resumed.docs.select("doc", "topic").as[(Long, Int)].collect().toMap
+    assert(got == want)
+    assert(TableIO.history(t).map(_.step) == Seq(0L, 1L, 2L, 3L))
+    // cadence > 1: only every other iteration commits, final forced
+    val t2 = tmpDir("gsdmm_ckpt_cad")
+    new GSDMM(2, seed = 7L).train(spark, bow(3), 12, numIters = 4,
+      checkpointTable = t2, checkpointEvery = 2)
+    assert(TableIO.history(t2).map(_.step) == Seq(0L, 2L, 3L))
+  }
+
+  test("LDA checkpointed training resumes mid-run with identical trajectory") {
+    import graft.io.TableIO
+    val t = tmpDir("lda_ckpt")
+    val full = new LDA(2, seed = 7L).train(spark, bow(3), 12, numIters = 4)
+    val want = full.assignments.as[(Long, Int, Int, Int)].collect().toSet
+    new LDA(2, seed = 7L).train(spark, bow(3), 12, numIters = 2,
+      checkpointTable = t)
+    val resumed = new LDA(2, seed = 7L).train(spark, bow(3), 12, numIters = 4,
+      checkpointTable = t)
+    val got = resumed.assignments.as[(Long, Int, Int, Int)].collect().toSet
+    assert(got == want)
+    assert(resumed.wordTopic == full.wordTopic)
+    assert(TableIO.history(t).map(_.step) == Seq(0L, 1L, 2L, 3L))
+  }
 }
