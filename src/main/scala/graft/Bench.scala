@@ -81,9 +81,9 @@ object Bench {
     // CPU-pinned subprocess campaign (the round-2+ methodology: each leg a
     // taskset-pinned JVM with proportional heap — see BENCH.md). Default 1
     // interleaved pass at 45M edges to keep bench wall-clock bounded; the
-    // committed multi-pass campaign (tools/scaling_pinned_r3.json, produced
-    // by `runMain graft.ScalingProbe campaign`) is inlined alongside so the
-    // ≥5-run median ships in this JSON too.
+    // committed multi-pass campaign artifact (tools/scaling_pinned_r<N>
+    // .json, produced by `runMain graft.ScalingProbe campaign`) is inlined
+    // alongside so the ≥5-run median ships in this JSON too.
     val pinnedPasses =
       sys.env.getOrElse("SPARK_GRAFT_PINNED_PASSES", "1").toInt
     val pinnedPages =
@@ -107,12 +107,24 @@ object Bench {
         campaignLine(8, cpus, "scaling_pinned") +
           (if (cpus >= 16) campaignLine(4, 16, "scaling_pinned_unsat") else "")
       } else ""
-    val campaignFile = new java.io.File("tools/scaling_pinned_r3.json")
-    val campaignJson =
-      if (campaignFile.exists()) {
-        val txt = scala.io.Source.fromFile(campaignFile).mkString.trim
-        if (txt.startsWith("{")) s""","scaling_campaign":$txt""" else ""
-      } else ""
+    // committed multi-pass campaign artifact (produced by
+    // `runMain graft.ScalingProbe campaign`, committed round-stamped):
+    // env override, else the highest tools/scaling_pinned_r<N>.json
+    val campaignFile = sys.env.get("SPARK_GRAFT_CAMPAIGN_FILE")
+      .map(new java.io.File(_))
+      .orElse {
+        val dir = new java.io.File("tools")
+        val re = """scaling_pinned_r(\d+)\.json""".r
+        Option(dir.listFiles()).getOrElse(Array.empty).toSeq
+          .flatMap(f => f.getName match {
+            case re(n) => Some((n.toInt, f)); case _ => None
+          })
+          .sortBy(_._1).lastOption.map(_._2)
+      }
+    val campaignJson = campaignFile.filter(_.exists()).map { f =>
+      val txt = scala.io.Source.fromFile(f).mkString.trim
+      if (txt.startsWith("{")) s""","scaling_campaign":$txt""" else ""
+    }.getOrElse("")
 
     val qs = (results.map(r => (r._1, r._2)) :+ (s"pagerank_${prIters}steps" -> prSecs))
       .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")

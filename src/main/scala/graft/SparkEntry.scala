@@ -264,7 +264,7 @@ object SparkEntry {
     "d_minhash_pairs" -> ((s, dir) => // rows-only: hash family not in SQL
       Dedup.minhashCandidates(docs(s, dir), "doc_id", "text")
         .select(col("id1"), col("id2"))),
-    "d_simhash" -> ((s, dir) => // rows-only
+    "d_simhash" -> ((s, dir) => // oracled: bit votes in DuckDB int SQL
       Dedup.simhashCandidates(docs(s, dir), "doc_id", "text", maxHamming = 8)
         .select(col("id1"), col("id2"), col("hamming"))),
     "t_tokencount" -> ((s, dir) =>
@@ -278,7 +278,7 @@ object SparkEntry {
           round(col("quality_score"), 6).as("quality_score"))),
     "t_langid" -> ((s, dir) => // rows-only: heuristic detector
       docs(s, dir).select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))),
-    "t_fingerprint" -> ((s, dir) => // rows-only: 64-bit rolling hash
+    "t_fingerprint" -> ((s, dir) => // oracled: HUGEINT mod-2^64 rolling hash
       docs(s, dir).select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))),
     "e_ann_top1" -> ((s, dir) => {
       val v = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -308,7 +308,8 @@ object SparkEntry {
         .select(col("doc"), col("word").cast("long").as("word"),
           round(col("weight"), 6).as("weight"))
     }),
-    // word2phrase greedy merge (rows-only: iterative re-tokenization)
+    // word2phrase greedy merge (numIters=1: accepted set = freq>30
+    // bigrams; the greedy scan is a gaps-and-islands window in the oracle)
     "c_word2phrase" -> ((s, dir) =>
       Word2Phrase.run(s, docs(s, dir).select(col("doc_id").as("doc"), col("text")),
           numIters = 1, minFreq = 30, minScore = 0.0)
@@ -435,6 +436,44 @@ object SparkEntry {
       import sess.implicits._
       Seq(Metrics.adjustedRandIndex(c1, c2)).toDF("ari")
         .select(round(col("ari"), 6).as("ari"))
+    }),
+    // CompareByCPM (:3206-3232) over one-hot memberships, gamma = 0.25 —
+    // exact in doubles (counts + quarter multiples), so the oracle compare
+    // is bitwise despite float sums
+    "m_cpm" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+      val memb = c.select(col("c_custkey").as("nodeId"),
+        array(segs.map(g =>
+          when(col("c_mktsegment") === g, 1.0).otherwise(0.0)): _*).as("membership"))
+      val comm = c.select(col("c_nationkey").cast("long").as("cid"),
+        col("c_custkey").as("member"))
+      val sess = s
+      import sess.implicits._
+      Seq(Metrics.cpm(memb, comm, gamma = 0.25)).toDF("cpm")
+        .select(round(col("cpm"), 6).as("cpm"))
+    }),
+    // ComputeEMI (:3550-3589): hypergeometric expected MI; the oracle
+    // recomputes the numCombs probability via lgamma (agrees to ~1e-14,
+    // far inside the 6-dp gate)
+    "m_emi" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val c1 = c.select(col("c_nationkey").cast("long").as("cid"),
+        col("c_custkey").as("member"))
+      val c2 = c.select(col("c_mktsegment").as("cid"), col("c_custkey").as("member"))
+      val sess = s
+      import sess.implicits._
+      Seq(Metrics.emi(c1, c2)).toDF("emi").select(round(col("emi"), 6).as("emi"))
+    }),
+    // CompareByAMI (:3593-3608) = (MI - EMI) / (max(H1,H2) - EMI)
+    "m_ami" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val c1 = c.select(col("c_nationkey").cast("long").as("cid"),
+        col("c_custkey").as("member"))
+      val c2 = c.select(col("c_mktsegment").as("cid"), col("c_custkey").as("member"))
+      val sess = s
+      import sess.implicits._
+      Seq(Metrics.ami(c1, c2)).toDF("ami").select(round(col("ami"), 6).as("ami"))
     }),
     // CompareByModularity (:3135-3202) over one-hot memberships — the O(n·d)
     // algebraic rewrite cross-checked against DuckDB's closed form
@@ -990,6 +1029,169 @@ object SparkEntry {
         |SELECT round(sum(term1 - sc*sc / (SELECT t FROM tot))
         |  / (SELECT t FROM tot), 6) AS modularity
         |FROM perc""".stripMargin,
+
+      // CompareByCPM closed form (one-hot unit memberships): per community
+      // ||v_c||² = Σ_seg n_{c,seg}², minus γ·|c|² — γ = 0.25 keeps every
+      // term an exact binary fraction, so the compare is bitwise
+      "m_cpm" -> """
+        |WITH cnt AS (SELECT c_nationkey::BIGINT AS cid, c_mktsegment AS seg,
+        |    count(*)::DOUBLE AS m FROM customer GROUP BY 1, 2),
+        |szs AS (SELECT cid, sum(m) AS nc, sum(m*m) AS v2 FROM cnt GROUP BY cid)
+        |SELECT round(sum(v2 - 0.25*nc*nc), 6) AS cpm FROM szs""".stripMargin,
+
+      // ComputeEMI: the engine's numCombs interleaved max-division equals
+      // the hypergeometric P(k); the oracle computes it via lgamma —
+      // agreement ~1e-14, 8 orders inside the 6-dp gate
+      "m_emi" -> """
+        |WITH s1 AS (SELECT c_nationkey AS cid, count(*)::BIGINT AS ni
+        |  FROM customer GROUP BY 1),
+        |s2 AS (SELECT c_mktsegment AS cid, count(*)::BIGINT AS nj
+        |  FROM customer GROUP BY 1),
+        |nn AS (SELECT count(*)::BIGINT AS n FROM customer),
+        |terms AS (
+        |  SELECT ni, nj, n, unnest(range(greatest(1, ni+nj-n), least(ni, nj)+1)) AS k
+        |  FROM s1, s2, nn)
+        |SELECT round(sum(exp(lgamma(ni+1)-lgamma(k+1)-lgamma(ni-k+1)
+        |    +lgamma(n-ni+1)-lgamma(nj-k+1)-lgamma(n-ni-nj+k+1)
+        |    -lgamma(n+1)+lgamma(nj+1)+lgamma(n-nj+1))
+        |  * k / n * ln(k*n/(1.0*ni*nj))), 6) AS emi FROM terms""".stripMargin,
+
+      // CompareByAMI = (MI - EMI) / (max(H1,H2) - EMI), entropies as in
+      // m_nmi and EMI as in m_emi
+      "m_ami" -> """
+        |WITH s1 AS (SELECT c_nationkey AS cid, count(*)::BIGINT AS ni
+        |  FROM customer GROUP BY 1),
+        |s2 AS (SELECT c_mktsegment AS cid, count(*)::BIGINT AS nj
+        |  FROM customer GROUP BY 1),
+        |nn AS (SELECT count(*)::BIGINT AS n FROM customer),
+        |cont AS (SELECT c_nationkey AS a, c_mktsegment AS b, count(*)::DOUBLE AS nij
+        |  FROM customer GROUP BY 1, 2),
+        |ent AS (SELECT
+        |  (SELECT -sum((ni/(1.0*n))*ln(ni/(1.0*n))) FROM s1, nn) AS e1,
+        |  (SELECT -sum((nj/(1.0*n))*ln(nj/(1.0*n))) FROM s2, nn) AS e2,
+        |  (SELECT -sum((nij/n)*ln(nij/n)) FROM cont, nn) AS hxy),
+        |emiv AS (
+        |  SELECT sum(exp(lgamma(ni+1)-lgamma(k+1)-lgamma(ni-k+1)
+        |      +lgamma(n-ni+1)-lgamma(nj-k+1)-lgamma(n-ni-nj+k+1)
+        |      -lgamma(n+1)+lgamma(nj+1)+lgamma(n-nj+1))
+        |    * k / n * ln(k*n/(1.0*ni*nj))) AS emi
+        |  FROM (SELECT ni, nj, n,
+        |      unnest(range(greatest(1, ni+nj-n), least(ni, nj)+1)) AS k
+        |    FROM s1, s2, nn))
+        |SELECT round(((e1 + e2 - hxy) - emi) / (greatest(e1, e2) - emi), 6) AS ami
+        |FROM ent, emiv""".stripMargin,
+
+      // the 64-bit polynomial rolling hash replayed in exact integer SQL:
+      // HUGEINT accumulator mod 2^64 via list_reduce over the char codes
+      // (documents are BMP text, so unicode() = the UTF-16 code unit),
+      // converted to the signed BIGINT the engine emits
+      "t_fingerprint" -> """
+        |SELECT doc_id,
+        |  CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+        |    THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS fp
+        |FROM (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(1125899906842597::HUGEINT,
+        |        list_transform(split(text, ''), c -> unicode(c)::HUGEINT)),
+        |      (acc, x) -> (acc * 1000003 + x) % 18446744073709551616::HUGEINT
+        |    ) AS h
+        |  FROM documents)""".stripMargin,
+
+      // SimHash replayed bit-exactly: per-token poly hash -> splitmix64
+      // finalizer (the 64x64-bit modular multiplies run as hi/lo 32-bit
+      // splits to stay inside HUGEINT), 64 bit-votes per doc, then the
+      // SAME quarter-pigeonhole blocking as the engine (a pair must agree
+      // on one 16-bit quarter) with hamming <= 8
+      "d_simhash" -> """
+        |WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(trim(text), '\s+'), t -> len(t) > 0)) AS tok
+        |  FROM documents
+        |), th AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(1125899906842597::HUGEINT,
+        |        list_transform(split(tok, ''), c -> unicode(c)::HUGEINT)),
+        |      (acc, x) -> (acc * 1000003 + x) % 18446744073709551616::HUGEINT
+        |    ) AS h0
+        |  FROM toks
+        |), m1 AS (
+        |  SELECT doc_id, ((h0 + 11400714819323198485::HUGEINT)
+        |    % 18446744073709551616::HUGEINT)::UBIGINT AS x1 FROM th
+        |), y1 AS (
+        |  SELECT doc_id, xor(x1, x1 >> 30)::HUGEINT AS y FROM m1
+        |), m2 AS (
+        |  SELECT doc_id, ((((y * 3210233709) % 4294967296::HUGEINT) * 4294967296::HUGEINT
+        |    + (y * 484763065) % 18446744073709551616::HUGEINT)
+        |    % 18446744073709551616::HUGEINT)::UBIGINT AS x2 FROM y1
+        |), y2 AS (
+        |  SELECT doc_id, xor(x2, x2 >> 27)::HUGEINT AS y FROM m2
+        |), m3 AS (
+        |  SELECT doc_id, ((((y * 2496678331) % 4294967296::HUGEINT) * 4294967296::HUGEINT
+        |    + (y * 321982955) % 18446744073709551616::HUGEINT)
+        |    % 18446744073709551616::HUGEINT)::UBIGINT AS x3 FROM y2
+        |), mx AS (
+        |  SELECT doc_id, xor(x3, x3 >> 31) AS h FROM m3
+        |), votes AS (
+        |  SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM mx, (SELECT unnest(range(64)) AS b)
+        |  GROUP BY doc_id, b
+        |), fps AS MATERIALIZED (
+        |  SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::HUGEINT << b)
+        |    ELSE 0::HUGEINT END)::UBIGINT AS fpu
+        |  FROM votes GROUP BY doc_id
+        |)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  bit_count(xor(a.fpu, b.fpu))::INT AS hamming
+        |FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+        |  AND ((a.fpu & 65535) = (b.fpu & 65535)
+        |    OR ((a.fpu >> 16) & 65535) = ((b.fpu >> 16) & 65535)
+        |    OR ((a.fpu >> 32) & 65535) = ((b.fpu >> 32) & 65535)
+        |    OR ((a.fpu >> 48) & 65535) = ((b.fpu >> 48) & 65535))
+        |WHERE bit_count(xor(a.fpu, b.fpu)) <= 8""".stripMargin,
+
+      // word2phrase at numIters=1, minFreq=30, minScore=0: the accepted set
+      // reduces to bigrams with freq > 30 (score = (freq-30)/(f1·f2) ≥ 0
+      // always), and the greedy left-to-right merge is the gaps-and-islands
+      // recurrence s_i = m_i ∧ ¬s_{i-1}: within each maximal run of
+      // accepted positions, merges start at even offsets
+      "c_word2phrase" -> """
+        |WITH tk AS (
+        |  SELECT doc_id AS doc, list_filter(
+        |    regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0) AS toks
+        |  FROM documents
+        |), flat AS (
+        |  SELECT doc, unnest(toks) AS term, unnest(range(1, len(toks)+1)) AS pos FROM tk
+        |), bi AS (
+        |  SELECT doc, pos, term, lead(term) OVER (PARTITION BY doc ORDER BY pos) AS nxt
+        |  FROM flat
+        |), accepted AS MATERIALIZED (
+        |  SELECT term AS t1, nxt AS t2 FROM bi WHERE nxt IS NOT NULL
+        |  GROUP BY term, nxt HAVING count(*) > 30
+        |), flagged AS (
+        |  SELECT b.doc, b.pos, b.term, b.nxt,
+        |    CASE WHEN a.t1 IS NOT NULL THEN 1 ELSE 0 END AS m
+        |  FROM bi b LEFT JOIN accepted a ON b.term = a.t1 AND b.nxt = a.t2
+        |), islands AS (
+        |  SELECT doc, pos, term, nxt, m,
+        |    pos - row_number() OVER (PARTITION BY doc, m ORDER BY pos) AS grp
+        |  FROM flagged
+        |), starts AS (
+        |  SELECT doc, pos, term, nxt, m,
+        |    CASE WHEN m = 1 AND (pos - min(pos) OVER (PARTITION BY doc, m, grp)) % 2 = 0
+        |         THEN 1 ELSE 0 END AS isStart
+        |  FROM islands
+        |), outtok AS (
+        |  SELECT doc, pos,
+        |    CASE WHEN isStart = 1 THEN term || '_' || nxt
+        |         WHEN coalesce(lag(isStart) OVER (PARTITION BY doc ORDER BY pos), 0) = 1
+        |           THEN NULL
+        |         ELSE term END AS otok
+        |  FROM starts
+        |)
+        |SELECT doc, coalesce(string_agg(otok, ' ' ORDER BY pos), '') AS text
+        |FROM outtok GROUP BY doc""".stripMargin,
 
       // GetHotTopicPublications reduced form: output is (id, year) only, so
       // the dense-histogram scan collapses to the two cells it reads —
