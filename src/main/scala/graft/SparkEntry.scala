@@ -99,13 +99,15 @@ object SparkEntry {
       r.select(col("vid"), round(col("rank"), 6).as("rank"))
     }),
     "g_components" -> ((s, dir) =>
-      ConnectedComponents.hashMin(s, edgesCC(s, dir))
+      // stepsPerJob: 4 supersteps chained per job (fixpoint unchanged —
+      // min propagation is monotone; see hashMin scaladoc)
+      ConnectedComponents.hashMin(s, edgesCC(s, dir), stepsPerJob = 4)
         .select(col("vid"), col("component"))),
     "g_components_star" -> ((s, dir) =>
       ConnectedComponents.smallStarLargeStar(s, edgesCC(s, dir))
         .select(col("vid"), col("component"))),
     "g_labelprop" -> ((s, dir) =>
-      LabelPropagation.run(s, edgesCC(s, dir), numIters = 2)
+      LabelPropagation.run(s, edgesCC(s, dir), numIters = 2, stepsPerJob = 2)
         .select(col("vid"), col("label"))),
     "g_triangles" -> ((s, dir) =>
       Triangles.perVertex(edgesTri(s, dir))

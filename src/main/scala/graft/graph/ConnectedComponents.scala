@@ -59,9 +59,11 @@ object ConnectedComponents {
     * aggregate, the edge side is cached pre-partitioned on src, and only
     * the `groupBy(dst)` shuffles. The block-end changed-count rides the
     * SAME job as the lazy lineage truncation (one action per block, not
-    * two). AQE is scoped off as in [[PageRank.run]]: runtime coalescing
-    * would re-derive the exchange's partition count from small samples and
-    * break the superstep-to-superstep co-partitioning. */
+    * two). AQE stays ON (unlike [[PageRank.run]], which must protect a
+    * ReusedExchange and a vertDeg frame co-partitioned across supersteps):
+    * here each superstep's state partitioning is derived fresh, so AQE's
+    * runtime broadcast of a shrunken state side / small-stage coalescing
+    * are pure wins at low scale and no-ops at web scale. */
   def hashMin(
       spark: SparkSession,
       edges: DataFrame,
@@ -69,20 +71,6 @@ object ConnectedComponents {
       checkpointTable: String = null,
       checkpointEvery: Int = 1,
       stepsPerJob: Int = 1): DataFrame = {
-    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try hashMinInternal(spark, edges, maxIters, checkpointTable,
-      checkpointEvery, stepsPerJob)
-    finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
-  }
-
-  private def hashMinInternal(
-      spark: SparkSession,
-      edges: DataFrame,
-      maxIters: Int,
-      checkpointTable: String,
-      checkpointEvery: Int,
-      stepsPerJob: Int): DataFrame = {
     val ckpt = Option(checkpointTable).filter(_.nonEmpty)
     // symmetrize ends in distinct() = hash partitioning on (src, dst),
     // which does NOT satisfy the per-iteration join's clustering on src —
@@ -91,7 +79,10 @@ object ConnectedComponents {
     // A self-loop per vertex is unioned in BEFORE the layout: it feeds each
     // vertex its own component through the same aggregate that feeds it the
     // neighbors' (single-use state — see scaladoc), at +|V| rows on 2|E|.
-    val symBase = symmetrize(edges)
+    // symBase is persisted for the setup only (vertices + the self-loop
+    // union both read it; without the persist the symmetrize distinct runs
+    // twice) and dropped once the CSR layout is materialized.
+    val symBase = symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
     val vertices = symBase.select(col("src").as("vid")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sym = symBase
@@ -116,12 +107,16 @@ object ConnectedComponents {
       .agg(min(col("component")).as("component"),
         max(when(col("src") === col("dst"), col("prev"))).as("prev"))
 
+    val debug = sys.env.get("SPARK_GRAFT_CC_DEBUG").contains("1")
+    val t00 = System.nanoTime()
     var labels = start.localCheckpoint(true)
+    if (debug) println(f"""{"cc_setup_secs":${(System.nanoTime() - t00) / 1e9}%.3f}""")
     var step = startStep
     var changed = 1L
     val cadence = math.max(1, checkpointEvery)
     var nextCommitRel = 0L
     while (step < maxIters && changed > 0) {
+      val tB = System.nanoTime()
       val block = math.min(math.max(1, stepsPerJob), maxIters - step)
       var cur = labels.withColumn("prev", col("component"))
       var i = 0
@@ -132,6 +127,7 @@ object ConnectedComponents {
       val next = cur.localCheckpoint(false)
       changed = next.where(col("component") =!= col("prev")).count()
       val endStep = step + block - 1
+      if (debug) println(f"""{"cc_block":{"steps":$step..$endStep,"secs":${(System.nanoTime() - tB) / 1e9}%.3f,"changed":$changed}}""")
       val result = next.select("vid", "component")
       // commit on the cadence (block-boundary granular), plus always at
       // convergence / the final step — the final state must land durably
@@ -147,7 +143,7 @@ object ConnectedComponents {
       labels = result
       step += block
     }
-    sym.unpersist(); vertices.unpersist()
+    symBase.unpersist(); sym.unpersist(); vertices.unpersist()
     labels
   }
 

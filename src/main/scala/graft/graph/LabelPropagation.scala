@@ -23,9 +23,8 @@ import graft.io.TableIO
   * The per-vertex mode is computed as `groupBy(vid, label)` vote counts
   * (self-loops vote with weight 0 — see the layout comment) followed by a
   * `row_number` window ordered `(count DESC, label ASC)`; no driver-side
-  * state, no join-back to the state frame. AQE is scoped off as in
-  * [[PageRank.run]] so the superstep exchanges keep a stable partition
-  * count across iterations.
+  * state, no join-back to the state frame. AQE stays on — see
+  * [[ConnectedComponents.hashMin]].
   */
 object LabelPropagation {
 
@@ -45,13 +44,9 @@ object LabelPropagation {
       seedLabels: DataFrame = null, // (vid, label); default = vid
       checkpointTable: String = null,
       checkpointEvery: Int = 1,
-      stepsPerJob: Int = 1): DataFrame = {
-    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try runInternal(spark, edges, numIters, seedLabels, ckptOpt = checkpointTable,
+      stepsPerJob: Int = 1): DataFrame =
+    runInternal(spark, edges, numIters, seedLabels, ckptOpt = checkpointTable,
       checkpointEvery = checkpointEvery, stepsPerJob = stepsPerJob)
-    finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
-  }
 
   private def runInternal(
       spark: SparkSession,
@@ -70,7 +65,10 @@ object LabelPropagation {
     // votes — the state frame is consumed exactly once per superstep, so
     // lazy block fusion (stepsPerJob) never duplicates the chained subplan
     // (see [[ConnectedComponents.hashMin]]).
+    // symBase persisted for the setup only (vertices + the self-loop union
+    // both read it), dropped once the CSR layout is materialized
     val symBase = ConnectedComponents.symmetrize(edges)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val vertices = symBase.select(col("src").as("vid")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sym = symBase.select(col("src"), col("dst"), lit(0).as("self"))
@@ -133,7 +131,7 @@ object LabelPropagation {
       labels = next
       step += block
     }
-    sym.unpersist(); vertices.unpersist()
+    symBase.unpersist(); sym.unpersist(); vertices.unpersist()
     labels
   }
 }

@@ -233,6 +233,9 @@ class GraphKernelsSpec extends SparkSpec {
   }
 
   test("CC superstep fusion actually cuts Spark jobs (changed-count folded)") {
+    // AQE scoped off HERE so one action = one job (AQE submits a job per
+    // query stage, which would hide the driver-side action count this test
+    // measures; the kernels themselves run with AQE on)
     val sc = spark.sparkContext
     val edges = Referee.zipf(300, 1200, 21L)
     def jobsOf(group: String)(body: => Unit): Int = {
@@ -240,22 +243,26 @@ class GraphKernelsSpec extends SparkSpec {
       try body finally sc.clearJobGroup()
       sc.statusTracker.getJobIdsForGroup(group).length
     }
-    val unfused = jobsOf("cc_unfused") {
-      ConnectedComponents.hashMin(spark, edgeDF(edges)).count()
-    }
-    val fused = jobsOf("cc_fused") {
-      ConnectedComponents.hashMin(spark, edgeDF(edges), stepsPerJob = 4).count()
-    }
-    assert(fused < unfused,
-      s"stepsPerJob=4 should run fewer jobs ($fused) than unfused ($unfused)")
-    val lpUnfused = jobsOf("lp_unfused") {
-      LabelPropagation.run(spark, edgeDF(edges), numIters = 6).count()
-    }
-    val lpFused = jobsOf("lp_fused") {
-      LabelPropagation.run(spark, edgeDF(edges), numIters = 6, stepsPerJob = 3).count()
-    }
-    assert(lpFused < lpUnfused,
-      s"LP stepsPerJob=3 should run fewer jobs ($lpFused) than unfused ($lpUnfused)")
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val unfused = jobsOf("cc_unfused") {
+        ConnectedComponents.hashMin(spark, edgeDF(edges)).count()
+      }
+      val fused = jobsOf("cc_fused") {
+        ConnectedComponents.hashMin(spark, edgeDF(edges), stepsPerJob = 4).count()
+      }
+      assert(fused < unfused,
+        s"stepsPerJob=4 should run fewer jobs ($fused) than unfused ($unfused)")
+      val lpUnfused = jobsOf("lp_unfused") {
+        LabelPropagation.run(spark, edgeDF(edges), numIters = 6).count()
+      }
+      val lpFused = jobsOf("lp_fused") {
+        LabelPropagation.run(spark, edgeDF(edges), numIters = 6, stepsPerJob = 3).count()
+      }
+      assert(lpFused < lpUnfused,
+        s"LP stepsPerJob=3 should run fewer jobs ($lpFused) than unfused ($lpUnfused)")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
 
   test("fused CC/LP + checkpointing: block-boundary commits, final durable") {
