@@ -122,7 +122,10 @@ object Bench {
           .sortBy(_._1).lastOption.map(_._2)
       }
     val campaignJson = campaignFile.filter(_.exists()).map { f =>
+      // flatten: the bench output contract is ONE JSON line — a
+      // pretty-printed artifact must not smuggle newlines into it
       val txt = scala.io.Source.fromFile(f).mkString.trim
+        .replaceAll("\\s*\\n\\s*", "")
       if (txt.startsWith("{")) s""","scaling_campaign":$txt""" else ""
     }.getOrElse("")
 
