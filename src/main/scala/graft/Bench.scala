@@ -136,7 +136,14 @@ object Bench {
     val variants =
       f""""variants":{"pagerank5_plain":$tPlain%.3f,"pagerank5_kahan":$tKahan%.3f,"salted_superstep":$tSalted%.3f}"""
     val total = results.map(_._2).sum + prSecs
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,$variants,"sf":"$sfDir","pagerank":{"edges":$edgesN,"supersteps":$prIters,"secs":$prSecs%.3f,"edges_per_sec":$edgesPerSec%.1f,"supersteps_per_hour":$superstepsPerHour%.1f}$scalingJson$pinnedJson$campaignJson}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,$variants,"sf":"$sfDir","pagerank":{"edges":$edgesN,"supersteps":$prIters,"secs":$prSecs%.3f,"edges_per_sec":$edgesPerSec%.1f,"supersteps_per_hour":$superstepsPerHour%.1f}$scalingJson$pinnedJson$campaignJson}"""
+    println(line)
+    // belt-and-braces: the same line to a file, so a log-scraping consumer
+    // that misses the stdout line (sbt prefixes, trailing [success]) still
+    // has a clean machine-readable artifact
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("tools/bench_latest.json"), line + "\n")
+    catch { case _: Throwable => () }
   }
 }
