@@ -144,6 +144,7 @@ object Bench {
     // has a clean machine-readable artifact
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("tools/bench_latest.json"), line + "\n")
-    catch { case _: Throwable => () }
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"bench: tools/bench_latest.json write failed: $e") }
   }
 }

@@ -1085,7 +1085,11 @@ object SparkEntry {
 
       // the 64-bit polynomial rolling hash replayed in exact integer SQL:
       // HUGEINT accumulator mod 2^64 via list_reduce over the char codes
-      // (documents are BMP text, so unicode() = the UTF-16 code unit),
+      // (the engine hashes UTF-16 code units via charAt, so each codepoint
+      // above the BMP is re-expanded to its surrogate pair: high =
+      // 55232 + cp//1024 = 0xD800 + ((cp-0x10000)>>10), low = 56320 +
+      // cp%1024 = 0xDC00 + ((cp-0x10000)&0x3FF) — encoding-exact replay,
+      // no BMP-only assumption),
       // converted to the signed BIGINT the engine emits
       "t_fingerprint" -> """
         |SELECT doc_id,
@@ -1095,8 +1099,14 @@ object SparkEntry {
         |  SELECT doc_id,
         |    list_reduce(
         |      list_prepend(1125899906842597::HUGEINT,
-        |        list_transform(split(text, ''), c -> unicode(c)::HUGEINT)),
-        |      (acc, x) -> (acc * 1000003 + x) % 18446744073709551616::HUGEINT
+        |        list_filter(
+        |          list_transform(split(text, ''), c -> unicode(c)::HUGEINT),
+        |          x -> x >= 0)),  -- split('','') yields [''] -> unicode -1
+        |      (acc, x) -> CASE WHEN x < 65536
+        |        THEN (acc * 1000003 + x) % 18446744073709551616::HUGEINT
+        |        ELSE (((acc * 1000003 + (55232 + x // 1024))
+        |            % 18446744073709551616::HUGEINT) * 1000003
+        |          + (56320 + x % 1024)) % 18446744073709551616::HUGEINT END
         |    ) AS h
         |  FROM documents)""".stripMargin,
 
@@ -1114,8 +1124,14 @@ object SparkEntry {
         |  SELECT doc_id,
         |    list_reduce(
         |      list_prepend(1125899906842597::HUGEINT,
-        |        list_transform(split(tok, ''), c -> unicode(c)::HUGEINT)),
-        |      (acc, x) -> (acc * 1000003 + x) % 18446744073709551616::HUGEINT
+        |        list_filter(
+        |          list_transform(split(tok, ''), c -> unicode(c)::HUGEINT),
+        |          x -> x >= 0)),  -- split('','') yields [''] -> unicode -1
+        |      (acc, x) -> CASE WHEN x < 65536
+        |        THEN (acc * 1000003 + x) % 18446744073709551616::HUGEINT
+        |        ELSE (((acc * 1000003 + (55232 + x // 1024))
+        |            % 18446744073709551616::HUGEINT) * 1000003
+        |          + (56320 + x % 1024)) % 18446744073709551616::HUGEINT END
         |    ) AS h0
         |  FROM toks
         |), m1 AS (
@@ -1170,8 +1186,14 @@ object SparkEntry {
         |  SELECT doc_id, s,
         |    list_reduce(
         |      list_prepend(1125899906842597::HUGEINT,
-        |        list_transform(split(s, ''), c -> unicode(c)::HUGEINT)),
-        |      (acc, x) -> (acc * 1000003 + x) % 18446744073709551616::HUGEINT
+        |        list_filter(
+        |          list_transform(split(s, ''), c -> unicode(c)::HUGEINT),
+        |          x -> x >= 0)),  -- split('','') yields [''] -> unicode -1
+        |      (acc, x) -> CASE WHEN x < 65536
+        |        THEN (acc * 1000003 + x) % 18446744073709551616::HUGEINT
+        |        ELSE (((acc * 1000003 + (55232 + x // 1024))
+        |            % 18446744073709551616::HUGEINT) * 1000003
+        |          + (56320 + x % 1024)) % 18446744073709551616::HUGEINT END
         |    ) AS h0
         |  FROM sh
         |), a1 AS (
@@ -1268,9 +1290,15 @@ object SparkEntry {
         |           THEN NULL
         |         ELSE term END AS otok
         |  FROM starts
+        |), agg AS (
+        |  SELECT doc, string_agg(otok, ' ' ORDER BY pos) AS text
+        |  FROM outtok GROUP BY doc
         |)
-        |SELECT doc, coalesce(string_agg(otok, ' ' ORDER BY pos), '') AS text
-        |FROM outtok GROUP BY doc""".stripMargin,
+        |-- left-join back to the full doc list: an empty/whitespace-only doc
+        |-- has no token rows (nothing survives the unnest) but the engine
+        |-- still emits (doc, '') for it
+        |SELECT tk.doc, coalesce(agg.text, '') AS text
+        |FROM tk LEFT JOIN agg ON tk.doc = agg.doc""".stripMargin,
 
       // GetHotTopicPublications reduced form: output is (id, year) only, so
       // the dense-histogram scan collapses to the two cells it reads —

@@ -127,7 +127,7 @@ object ConnectedComponents {
       val next = cur.localCheckpoint(false)
       changed = next.where(col("component") =!= col("prev")).count()
       val endStep = step + block - 1
-      if (debug) println(f"""{"cc_block":{"steps":$step..$endStep,"secs":${(System.nanoTime() - tB) / 1e9}%.3f,"changed":$changed}}""")
+      if (debug) println(f"""{"cc_block":{"start":$step,"end":$endStep,"secs":${(System.nanoTime() - tB) / 1e9}%.3f,"changed":$changed}}""")
       val result = next.select("vid", "component")
       // commit on the cadence (block-boundary granular), plus always at
       // convergence / the final step — the final state must land durably

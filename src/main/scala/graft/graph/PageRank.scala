@@ -256,7 +256,7 @@ object PageRank {
       val secs = (System.nanoTime() - t0) / 1e9
       val endStep = step + block - 1
       if (debug)
-        println(f"""{"pr_block":{"steps":${step}..$endStep,"secs":$secs%.3f}}""")
+        println(f"""{"pr_block":{"start":$step,"end":$endStep,"secs":$secs%.3f}}""")
       ckpt.foreach { t =>
         if (endStep - lastCommitted >= math.max(1, checkpointEvery)) {
           // metrics-only dangling mass: a cheap scan of the freshly

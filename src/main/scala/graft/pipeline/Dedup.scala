@@ -79,12 +79,21 @@ object Dedup {
 
   /** Candidate near-dup pairs via banded LSH: docs sharing any band bucket.
     * `(id1, id2)` with id1 < id2, distinct. The shuffle key is the (band,
-    * bucket-hash) pair — tiny rows; text never shuffles. */
+    * bucket-hash) pair — tiny rows; text never shuffles.
+    *
+    * Docs with an EMPTY shingle set (text shorter than `shingleK` chars,
+    * incl. null/empty) are excluded up front: a shingle-less doc has no
+    * content to be "near" anything, but its signature would be the
+    * all-`Long.MaxValue` vector, identical across every such doc — without
+    * the filter they'd all pair with each other (spurious quadratic
+    * all-pairs among short docs at scale). */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 5, numHashes: Int = 12, bands: Int = 4): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sig = docs.select(col(idCol).as("id"),
-      minhashSignature(col(textCol), shingleK, numHashes).as("sig"))
+    val sig = docs
+      .where(length(coalesce(col(textCol), lit(""))) >= shingleK)
+      .select(col(idCol).as("id"),
+        minhashSignature(col(textCol), shingleK, numHashes).as("sig"))
     val banded = sig.select(col("id"), posexplode(
       transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"),
