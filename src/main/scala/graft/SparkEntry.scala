@@ -1112,9 +1112,10 @@ object SparkEntry {
 
       // SimHash replayed bit-exactly: per-token poly hash -> splitmix64
       // finalizer (the 64x64-bit modular multiplies run as hi/lo 32-bit
-      // splits to stay inside HUGEINT), 64 bit-votes per doc, then the
-      // SAME quarter-pigeonhole blocking as the engine (a pair must agree
-      // on one 16-bit quarter) with hamming <= 8
+      // splits to stay inside HUGEINT), 64 bit-votes per doc, then ALL
+      // pairs within hamming 8 — the engine's derived maxHamming+1
+      // pigeonhole blocking has complete recall, so the oracle checks the
+      // radius contract without replicating the blocking
       "d_simhash" -> """
         |WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(
@@ -1160,13 +1161,13 @@ object SparkEntry {
         |    ELSE 0::HUGEINT END)::UBIGINT AS fpu
         |  FROM votes GROUP BY doc_id
         |)
+        |-- contract check: the engine derives maxHamming+1 pigeonhole
+        |-- blocks, making recall complete for the requested radius — so the
+        |-- result is EXACTLY the set of pairs within 8 bits, independent of
+        |-- the blocking implementation
         |SELECT a.doc_id AS id1, b.doc_id AS id2,
         |  bit_count(xor(a.fpu, b.fpu))::INT AS hamming
         |FROM fps a JOIN fps b ON a.doc_id < b.doc_id
-        |  AND ((a.fpu & 65535) = (b.fpu & 65535)
-        |    OR ((a.fpu >> 16) & 65535) = ((b.fpu >> 16) & 65535)
-        |    OR ((a.fpu >> 32) & 65535) = ((b.fpu >> 32) & 65535)
-        |    OR ((a.fpu >> 48) & 65535) = ((b.fpu >> 48) & 65535))
         |WHERE bit_count(xor(a.fpu, b.fpu)) <= 8""".stripMargin,
 
       // MinHash LSH candidates replayed exactly: distinct 5-shingles, the

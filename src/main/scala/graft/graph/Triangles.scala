@@ -30,8 +30,13 @@ object Triangles {
     * `(dlo, lo) < (dhi, hi)` lexicographically. In a triangle all three
     * oriented edges then agree with one total order, so the closing edge of
     * a wedge is uniquely `(b -> c)` — an equi-join key. */
-  def orient(edges: DataFrame): DataFrame = {
-    val canon = canonical(edges)
+  def orient(edges: DataFrame): DataFrame =
+    orientCanonical(canonical(edges))
+
+  /** [[orient]] over an already-canonicalized (ideally cached) edge frame,
+    * so callers that need the canonical frame for other purposes too
+    * ([[perVertex]]) pay the distinct-shuffle exactly once. */
+  private def orientCanonical(canon: DataFrame): DataFrame = {
     val deg = canon.select(col("u").as("vid"))
       .union(canon.select(col("v").as("vid")))
       .groupBy("vid").agg(count(lit(1)).as("deg"))
@@ -48,8 +53,14 @@ object Triangles {
   }
 
   /** All triangles as rows (a, b, c) — each exactly once. */
-  def triangles(edges: DataFrame): DataFrame = {
-    val o = orient(edges).cache()
+  def triangles(edges: DataFrame): DataFrame =
+    trianglesCanonical(canonical(edges))
+
+  private def trianglesCanonical(canon0: DataFrame): DataFrame = {
+    // cache() is idempotent (CacheManager keys on the plan), so a caller
+    // that already cached the canonical frame shares one InMemoryRelation
+    val canon = canon0.cache()
+    val o = orientCanonical(canon).cache()
     val before = (d1: org.apache.spark.sql.Column, v1: org.apache.spark.sql.Column,
         d2: org.apache.spark.sql.Column, v2: org.apache.spark.sql.Column) =>
       d1 < d2 || (d1 === d2 && v1 < v2)
@@ -63,14 +74,16 @@ object Triangles {
       Seq("b", "c"), "left_semi")
   }
 
-  /** Per-vertex triangle counts (vertices in no triangle get 0). */
+  /** Per-vertex triangle counts (vertices in no triangle get 0). ONE
+    * cached canonical frame feeds both the wedge pipeline and the vertex
+    * universe — previously the edge-table distinct shuffled twice. */
   def perVertex(edges: DataFrame): DataFrame = {
-    val tri = triangles(edges)
+    val canon = canonical(edges).cache()
+    val tri = trianglesCanonical(canon)
     val members = tri.select(col("a").as("vid"))
       .union(tri.select(col("b").as("vid")))
       .union(tri.select(col("c").as("vid")))
     val counts = members.groupBy("vid").agg(count(lit(1)).as("triangles"))
-    val canon = canonical(edges).cache()
     val vertices = canon.select(col("u").as("vid"))
       .union(canon.select(col("v").as("vid"))).distinct()
     vertices.join(counts, Seq("vid"), "left")

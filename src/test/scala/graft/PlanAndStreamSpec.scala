@@ -109,6 +109,30 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("triangles perVertex reuses ONE cached canonical edge frame") {
+    import graft.graph.Triangles
+    val pages = Pages.synthesize(spark, 1000, 7L, 4)
+    val (_, edges) = graft.ingest.Graphs.buildGraph(pages)
+    try {
+      val pv = Triangles.perVertex(edges)
+      pv.count() // fill the caches
+      // the canonical (distinct u<v) frame is cached, so every consumer —
+      // degree build, orientation join, and the vertex-universe branch —
+      // reads one InMemoryRelation instead of re-running the distinct
+      // shuffle (round-4 defect: perVertex ran canonical() twice)
+      val canonCached = Triangles.canonical(edges).queryExecution.withCachedData
+      assert(canonCached.isInstanceOf[
+        org.apache.spark.sql.execution.columnar.InMemoryRelation],
+        s"canonical edge frame not served from cache:\n$canonCached")
+      // and the final plan's live region (above the cache-build subtrees)
+      // reads the cache
+      val plan = pv.queryExecution.executedPlan.toString
+      val live = plan.linesIterator
+        .takeWhile(!_.contains("InMemoryRelation")).toSeq
+      assert(live.exists(_.contains("InMemoryTableScan")), plan.take(2000))
+    } finally spark.catalog.clearCache()
+  }
+
   test("dangling-mass total reads the contribution shuffle via exchange reuse") {
     // replicate the PageRank superstep's dangling branch UNDER THE
     // KERNEL'S EXECUTION CONDITIONS (AQE off — PageRank.run scopes it off

@@ -52,6 +52,34 @@ class DedupSpec extends SparkSpec {
     assert(cand.get((0L, 2L)).forall(_ > 0))
   }
 
+  test("minhash: shingle-less docs (shorter than k chars) never pair") {
+    val short = Seq((10L, "abc"), (11L, "xy"), (12L, ""),
+      (13L, null.asInstanceOf[String])).toDF("id", "text")
+    val cand = Dedup.minhashCandidates(docs.union(short), "id", "text",
+      shingleK = 5, numHashes = 12, bands = 6)
+      .as[(Long, Long)].collect().toSet
+    // without the empty-shingle filter every short doc shares the
+    // all-MaxValue signature and they'd all pair with each other
+    assert(cand.forall { case (a, b) => a < 10 && b < 10 },
+      s"shingle-less docs leaked into candidates: $cand")
+  }
+
+  test("simhash planted hamming-8 pair: derived 9-block pigeonhole finds it, 4 blocks miss") {
+    // 8 differing bits placed so EVERY 16-bit quarter differs (a 4-block
+    // scheme guarantees recall only to hamming 3 and misses this pair)
+    // while block 7 of the derived 9-block layout ([50,57)) is untouched
+    val mask = Seq(0, 9, 17, 25, 33, 41, 49, 57).map(1L << _).reduce(_ | _)
+    val fp1 = 0x0123456789ABCDEFL
+    val fps = Seq((1L, fp1), (2L, fp1 ^ mask)).toDF("id", "fp")
+    val auto = Dedup.simhashCandidatesFp(fps, maxHamming = 8)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(auto == Seq((1L, 2L, 8)), s"complete recall at radius 8: $auto")
+    val four = Dedup.simhashCandidatesFp(fps, maxHamming = 8, numBlocks = 4)
+      .as[(Long, Long, Int)].collect()
+    assert(four.isEmpty,
+      "explicit 4-block (16-bit) blocking guarantees only hamming <= 3")
+  }
+
   test("signatures are deterministic across partitionings") {
     val s1 = docs.repartition(1)
       .select($"id", Dedup.simhash($"text")).as[(Long, Long)].collect().toMap

@@ -305,4 +305,15 @@ class CitationCorpusSpec extends SparkSpec {
       .as[(Long, Long)].collect()
     assert(c.map(_._1).toSet == mainIds.toSet)
   }
+
+  test("AHC path fails loudly over the driver pair-collect ceiling") {
+    val groups = Seq((1L, 10L), (2L, 11L), (3L, 12L)).toDF("doc", "word")
+    val sims = Seq((10L, 11L, 0.9), (11L, 12L, 0.8), (10L, 12L, 0.7))
+      .toDF("w1", "w2", "sim")
+    val e = intercept[IllegalArgumentException] {
+      CitationCorpus.wpdmCluster(spark, groups, sims, eps = 0.5, minPts = 0,
+        ahcPairCeiling = 1L).collect()
+    }
+    assert(e.getMessage.contains("use dbscan (minPts > 0)"), e.getMessage)
+  }
 }
