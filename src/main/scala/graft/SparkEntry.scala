@@ -287,7 +287,7 @@ object SparkEntry {
       Ann.bruteForceTopK(v, v, 1)
         .select(col("qid"), col("cid"), round(col("sim"), 4).as("sim"))
     }),
-    "e_lsh_top1" -> ((s, dir) => { // rows-only: LSH recall is probabilistic
+    "e_lsh_top1" -> ((s, dir) => { // oracled: splitmix plane family replayed in int SQL
       val v = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
       Ann.lshTopK(v, k = 1).select(col("qid"), col("cid"))
     }),
@@ -852,6 +852,80 @@ object SparkEntry {
         |SELECT qid, cid, round(sim, 4) AS sim FROM (
         |  SELECT qid, cid, sim, row_number() OVER
         |    (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rk FROM pairs)
+        |WHERE rk = 1""".stripMargin,
+
+      // random-hyperplane LSH top-1 replayed exactly: plane components are
+      // mix(mix(plane) ^ (dim * C)) / 2^63 with mix = splitmix64 (the same
+      // hi/lo-split HUGEINT chain as d_simhash/d_minhash_pairs), projections
+      // and cosines are sequential left folds (list_reduce) matching the
+      // engine's fixed ascending-dim accumulation order bit-for-bit, so
+      // bucket membership and the top-1 argmax agree without rounding
+      "e_lsh_top1" -> """
+        |WITH planes AS (SELECT unnest(range(16)) AS plane),
+        |pm1 AS (SELECT plane, ((plane::HUGEINT + 11400714819323198485::HUGEINT)
+        |  % 18446744073709551616::HUGEINT)::UBIGINT AS x1 FROM planes),
+        |pm2 AS (SELECT plane, xor(x1, x1 >> 30)::HUGEINT AS y FROM pm1),
+        |pm3 AS (SELECT plane, ((((y * 3210233709) % 4294967296::HUGEINT) * 4294967296::HUGEINT
+        |  + (y * 484763065) % 18446744073709551616::HUGEINT)
+        |  % 18446744073709551616::HUGEINT)::UBIGINT AS x2 FROM pm2),
+        |pm4 AS (SELECT plane, xor(x2, x2 >> 27)::HUGEINT AS y FROM pm3),
+        |pm5 AS (SELECT plane, ((((y * 2496678331) % 4294967296::HUGEINT) * 4294967296::HUGEINT
+        |  + (y * 321982955) % 18446744073709551616::HUGEINT)
+        |  % 18446744073709551616::HUGEINT)::UBIGINT AS x3 FROM pm4),
+        |premix AS (SELECT plane, xor(x3, x3 >> 31) AS pm FROM pm5),
+        |dims AS (SELECT unnest(range(
+        |  (SELECT len(embedding) FROM embeddings LIMIT 1))) AS j),
+        |z0 AS (SELECT plane, j, xor(pm,
+        |  ((j::HUGEINT * 14029467366897019727::HUGEINT)
+        |    % 18446744073709551616::HUGEINT)::UBIGINT) AS z FROM premix, dims),
+        |q1 AS (SELECT plane, j, ((z::HUGEINT + 11400714819323198485::HUGEINT)
+        |  % 18446744073709551616::HUGEINT)::UBIGINT AS x1 FROM z0),
+        |q2 AS (SELECT plane, j, xor(x1, x1 >> 30)::HUGEINT AS y FROM q1),
+        |q3 AS (SELECT plane, j, ((((y * 3210233709) % 4294967296::HUGEINT) * 4294967296::HUGEINT
+        |  + (y * 484763065) % 18446744073709551616::HUGEINT)
+        |  % 18446744073709551616::HUGEINT)::UBIGINT AS x2 FROM q2),
+        |q4 AS (SELECT plane, j, xor(x2, x2 >> 27)::HUGEINT AS y FROM q3),
+        |q5 AS (SELECT plane, j, ((((y * 2496678331) % 4294967296::HUGEINT) * 4294967296::HUGEINT
+        |  + (y * 321982955) % 18446744073709551616::HUGEINT)
+        |  % 18446744073709551616::HUGEINT)::UBIGINT AS x3 FROM q4),
+        |cmix AS (SELECT plane, j, xor(x3, x3 >> 31) AS u FROM q5),
+        |comp AS (SELECT plane, j,
+        |  CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+        |    THEN u::HUGEINT - 18446744073709551616::HUGEINT
+        |    ELSE u::HUGEINT END AS BIGINT)::DOUBLE
+        |    / 9223372036854775807::DOUBLE AS c
+        |  FROM cmix),
+        |carr AS MATERIALIZED (
+        |  SELECT plane, list(c ORDER BY j) AS cs FROM comp GROUP BY plane),
+        |vecs AS MATERIALIZED (
+        |  SELECT vec_id AS id, embedding AS v FROM embeddings),
+        |proj AS (
+        |  SELECT id, plane,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      list_transform(range(len(v)), j -> v[j+1]::DOUBLE * cs[j+1])),
+        |      (a, b) -> a + b) AS p
+        |  FROM vecs, carr),
+        |sigs AS MATERIALIZED (
+        |  SELECT id, plane // 8 AS tbl,
+        |    sum(CASE WHEN p >= 0.0 THEN (1 << (plane % 8)) ELSE 0 END) AS bucket
+        |  FROM proj GROUP BY id, plane // 8),
+        |cand AS MATERIALIZED (
+        |  SELECT DISTINCT a.id AS qid, b.id AS cid
+        |  FROM sigs a JOIN sigs b
+        |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id <> b.id),
+        |scored AS (
+        |  SELECT p.qid, p.cid,
+        |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(len(q.v)),
+        |      j -> q.v[j+1]::DOUBLE * c.v[j+1]::DOUBLE)), (a, b) -> a + b)
+        |    / sqrt(
+        |      list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(len(q.v)),
+        |        j -> q.v[j+1]::DOUBLE * q.v[j+1]::DOUBLE)), (a, b) -> a + b)
+        |      * list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(len(c.v)),
+        |        j -> c.v[j+1]::DOUBLE * c.v[j+1]::DOUBLE)), (a, b) -> a + b)) AS sim
+        |  FROM cand p JOIN vecs q ON p.qid = q.id JOIN vecs c ON p.cid = c.id)
+        |SELECT qid, cid FROM (
+        |  SELECT qid, cid, row_number() OVER
+        |    (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rk FROM scored)
         |WHERE rk = 1""".stripMargin,
 
       "c_corpus_from_graph" -> s"""

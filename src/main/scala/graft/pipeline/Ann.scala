@@ -94,25 +94,43 @@ object Ann {
     spark.createDataFrame(rows, outSchema)
   }
 
-  /** Deterministic pseudo-random unit hyperplane component: splitmix-style
-    * hash of (plane, dim) mapped to [-1, 1). Pure column expression. */
-  private def planeComponent(plane: Int, dim: Column): Column = {
-    val h = xxhash64(lit(plane), dim)
-    (h.cast("double") / lit(Long.MaxValue.toDouble))
-  }
+  /** Deterministic pseudo-random unit hyperplane component in [-1, 1):
+    * `mix(mix(plane) ^ (dim * C)) / 2^63` with `mix` = splitmix64
+    * (graft.ingest.Pages.mix). Chosen over xxhash64 because the mix chain
+    * replays exactly in DuckDB integer SQL — the e_lsh_top1 oracle rebuilds
+    * these components the same way the d_minhash_pairs / d_simhash oracles
+    * replay their hash families. */
+  private[pipeline] def planeComponent(planePremix: Long, dim: Int): Double =
+    graft.ingest.Pages.mix(planePremix ^ (dim.toLong * 0xC2B2AE3D27D4EB4FL))
+      .toDouble / Long.MaxValue.toDouble
 
   /** Random-hyperplane LSH signature: `numPlanes` sign bits packed into a
     * LONG. Vectors with equal signatures are near-neighbor candidates.
-    * `planeOffset` selects an independent plane family per hash table. */
+    * `planeOffset` selects an independent plane family per hash table.
+    * One scalar UDF pass computes every projection (primitive arithmetic,
+    * one traversal of the vector per plane — the minhashSignature shape);
+    * projection order is ascending dim, a fixed left fold, so the oracle's
+    * sequential list_reduce reproduces the doubles bit-exactly. */
   def hyperplaneSignature(vec: Column, numPlanes: Int, planeOffset: Int = 0): Column = {
-    val bits = (0 until numPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * planeComponent(planeOffset + p, i)),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    val premixes = Array.tabulate(numPlanes)(p =>
+      graft.ingest.Pages.mix((planeOffset + p).toLong))
+    val sigUdf = udf { (v: Seq[Double]) =>
+      var bits = 0L
+      if (v != null) {
+        val n = v.length
+        var p = 0
+        while (p < premixes.length) {
+          val pm = premixes(p)
+          var acc = 0.0
+          var j = 0
+          while (j < n) { acc += v(j) * planeComponent(pm, j); j += 1 }
+          if (acc >= 0) bits |= (1L << p)
+          p += 1
+        }
+      }
+      bits
     }
-    bits.reduce(_.bitwiseOR(_))
+    sigUdf(vec)
   }
 
   /** LSH-bucketed ANN: equi-join on the signature bucket, exact cosine +
