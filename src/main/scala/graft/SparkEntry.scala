@@ -291,10 +291,12 @@ object SparkEntry {
       val v = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
       Ann.lshTopK(v, k = 1).select(col("qid"), col("cid"))
     }),
-    "mm_features" -> ((s, dir) => { // rows-only: synthesized media
+    "mm_features" -> ((s, dir) => { // rows-only: synthesized media (real PNG
+      // decode via JDK ImageIO; suite fixtures pin exact pixel features)
       val m = Multimodal.synthesize(s, 200)
       Multimodal.extractFeatures(m)
-        .select(col("media_id"), col("mime"), col("n_bytes"))
+        .select(col("media_id"), col("mime"), col("n_bytes"),
+          col("width"), col("height"))
     }),
 
     // ---- corpus (A1/A9/P6/W1 + §2.9 kernels) --------------------------------

@@ -231,16 +231,57 @@ class MultimodalSpec extends SparkSpec {
   test("feature extraction: schema, batch shape, deterministic values") {
     val feats = Multimodal.extractFeatures(media)
     assert(feats.schema == Multimodal.featureSchema)
-    val rows = feats.as[(Long, String, Int, Seq[Float])].collect()
+    val rows = feats
+      .as[(Long, String, Int, Option[Int], Option[Int], Seq[Float])].collect()
     assert(rows.length == 30)
-    rows.foreach { case (_, _, n, f) =>
+    rows.foreach { case (_, _, n, _, _, f) =>
       assert(n > 0 && f.length == 8)
+    }
+    // image rows decode to the REAL synthesized dimensions; audio/video
+    // rows have no dimensions (stub path)
+    val meta = media.select("media_id", "mime", "meta_w", "meta_h")
+      .as[(Long, String, Int, Int)].collect().map(r => r._1 -> r).toMap
+    rows.foreach { case (id, mime, _, w, h, f) =>
+      if (mime == "image/png") {
+        assert(w.contains(meta(id)._3) && h.contains(meta(id)._4),
+          s"decoded dims $w x $h != synthesized ${meta(id)._3} x ${meta(id)._4}")
+        assert(f.forall(v => v >= 0.0f && v <= 1.0f))
+      } else assert(w.isEmpty && h.isEmpty)
     }
     // deterministic: same media id -> same feature under any partitioning
     val again = Multimodal.extractFeatures(media.repartition(13))
-      .as[(Long, String, Int, Seq[Float])].collect()
-      .map(r => r._1 -> r._4).toMap
-    rows.foreach { case (id, _, _, f) => assert(again(id) == f) }
+      .as[(Long, String, Int, Option[Int], Option[Int], Seq[Float])].collect()
+      .map(r => r._1 -> r._6).toMap
+    rows.foreach { case (id, _, _, _, _, f) => assert(again(id) == f) }
+  }
+
+  test("image decode is real: fixture PNGs yield exact dimensions and pixel features") {
+    // uniform red 3x2: meanR=1, meanG=meanB=0, every luma = 0.299
+    val red = new java.awt.image.BufferedImage(3, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 3) red.setRGB(x, y, 0xff0000)
+    val redBos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(red, "png", redBos)
+    val Some((rw, rh, rf)) = Multimodal.decodeImage(redBos.toByteArray)
+    assert((rw, rh) == (3, 2))
+    val expRed = Seq(1.0f, 0.0f, 0.0f, 0.299f, 0.299f, 0.299f, 0.299f, 0.299f)
+    rf.toSeq.zip(expRed).foreach { case (got, want) =>
+      assert(math.abs(got - want) < 1e-6f, s"$got vs $want in ${rf.toSeq}")
+    }
+    // 2x2 with a single white TL pixel: quadrant features separate
+    val q = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    q.setRGB(0, 0, 0xffffff)
+    val qBos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(q, "png", qBos)
+    val Some((_, _, qf)) = Multimodal.decodeImage(qBos.toByteArray)
+    val expQ = Seq(0.25f, 0.25f, 0.25f, 0.25f, 1.0f, 0.0f, 0.0f, 0.0f)
+    qf.toSeq.zip(expQ).foreach { case (got, want) =>
+      assert(math.abs(got - want) < 1e-6f, s"$got vs $want in ${qf.toSeq}")
+    }
+    // non-image bytes refuse to decode (no exception, stub path downstream)
+    assert(Multimodal.decodeImage(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.decodeImage(null).isEmpty)
   }
 
   test("frame sampling is a generator over payload blocks") {
