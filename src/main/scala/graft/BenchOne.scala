@@ -19,6 +19,10 @@ object BenchOne {
       val fn = SparkEntry.queries.getOrElse(name,
         sys.error(s"unknown query $name"))
       val secs = (0 until reps).map { _ =>
+        // cache-cold per rep: drop leftover CacheManager entries (e.g.
+        // triangles' cached canonical frame) so a rep never silently
+        // reads a prior rep's materialized state
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9

@@ -102,10 +102,17 @@ object ScalingProbe {
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val cp = System.getProperty("java.class.path")
     val heapMb = cores * 1536 // 12g at 8 cores, 48g at 32 (r2 methodology)
+    // SPARK_GRAFT_LOCAL_DIR: pin shuffle/spill files to a dedicated dir
+    // (e.g. tmpfs /dev/shm/spark-local) — the r5 variance experiment: the
+    // default /tmp is disk-backed, so 32-leg shuffle writes contend with
+    // page-cache flushes on the one shared device
+    val localDir = sys.env.get("SPARK_GRAFT_LOCAL_DIR").map { d =>
+      new java.io.File(d).mkdirs(); s"-Dspark.local.dir=$d"
+    }.toSeq
     val cmd = Seq("taskset", "-c", s"0-${cores - 1}", javaBin) ++
       jdk17AddOpens ++ Seq(
         s"-Xmx${heapMb}m", "-Dspark.ui.enabled=false",
-        "-Dspark.sql.session.timeZone=UTC", "-cp", cp,
+        "-Dspark.sql.session.timeZone=UTC") ++ localDir ++ Seq("-cp", cp,
         "graft.ScalingProbe", "measure",
         nPages.toString, cores.toString, iters.toString, reps.toString)
     val pb = new ProcessBuilder(cmd: _*)
