@@ -273,12 +273,12 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"),
         TextAnalysis.bpeishTokenCount(col("text")).cast("long").as("n_bpe"))),
-    "t_quality" -> ((s, dir) => // rows-only: composite heuristic
+    "t_quality" -> ((s, dir) => // oracled: composite heuristic in SQL
       TextAnalysis.qualitySignals(docs(s, dir), "text")
         .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
           round(col("stopword_ratio"), 6).as("stopword_ratio"),
           round(col("quality_score"), 6).as("quality_score"))),
-    "t_langid" -> ((s, dir) => // rows-only: heuristic detector
+    "t_langid" -> ((s, dir) => // oracled: stopword-hit argmax in SQL
       docs(s, dir).select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))),
     "t_fingerprint" -> ((s, dir) => // oracled: HUGEINT mod-2^64 rolling hash
       docs(s, dir).select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))),
@@ -291,12 +291,15 @@ object SparkEntry {
       val v = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
       Ann.lshTopK(v, k = 1).select(col("qid"), col("cid"))
     }),
-    "mm_features" -> ((s, dir) => { // rows-only: synthesized media (real PNG
-      // decode via JDK ImageIO; suite fixtures pin exact pixel features)
+    "mm_features" -> ((s, dir) => { // oracled: the synthesized pixels/bytes are
+      // pure splitmix functions of (id, x, y), PNG round-trips losslessly and
+      // feature accumulation is integer-exact, so DuckDB replays the whole
+      // synthesize -> encode -> ImageIO-decode -> feature chain bit-for-bit.
+      // (n_bytes is excluded: PNG deflate length is encoder-dependent.)
       val m = Multimodal.synthesize(s, 200)
-      Multimodal.extractFeatures(m)
-        .select(col("media_id"), col("mime"), col("n_bytes"),
-          col("width"), col("height"))
+      val f = Multimodal.extractFeatures(m)
+      f.select(Seq(col("media_id"), col("mime"), col("width"), col("height")) ++
+        (0 until 8).map(k => element_at(col("feature"), k + 1).as(s"f$k")): _*)
     }),
 
     // ---- corpus (A1/A9/P6/W1 + §2.9 kernels) --------------------------------
@@ -929,6 +932,114 @@ object SparkEntry {
         |  SELECT qid, cid, row_number() OVER
         |    (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rk FROM scored)
         |WHERE rk = 1""".stripMargin,
+
+      // synthesize -> PNG encode -> ImageIO decode -> feature, replayed
+      // end-to-end: pixel (x,y) of image i is mix(i*1000003 + y*131 + x) &
+      // 0xffffff (PNG is lossless, so decode returns exactly those bits);
+      // audio/video byte j of row i is mix(i*1000003 + j) & 0xff. Feature
+      // accumulation is integer-exact in the engine (Multimodal.decodeImage /
+      // stubDecodeFeature), so BIGINT sums + the same double-division order
+      // reproduce every float bit-for-bit. Dims: w = 4 + (mix(i) & 7),
+      // h = 4 + (mix(i+1) & 7); audio len = 64 + (mix(i) & 0x3ff).
+      // n_bytes is deliberately NOT in the query: PNG deflate output length
+      // is encoder-dependent, everything else is a pure function of id.
+      "mm_features" -> """
+        |WITH seeds AS (SELECT unnest(range(201)) AS v),
+        |sm1 AS (SELECT v, ((v::HUGEINT + 11400714819323198485::HUGEINT)
+        |  % 18446744073709551616::HUGEINT)::UBIGINT AS x1 FROM seeds),
+        |sm2 AS (SELECT v, xor(x1, x1 >> 30)::HUGEINT AS y FROM sm1),
+        |sm3 AS (SELECT v, ((((y * 3210233709) % 4294967296::HUGEINT) * 4294967296::HUGEINT
+        |  + (y * 484763065) % 18446744073709551616::HUGEINT)
+        |  % 18446744073709551616::HUGEINT)::UBIGINT AS x2 FROM sm2),
+        |sm4 AS (SELECT v, xor(x2, x2 >> 27)::HUGEINT AS y FROM sm3),
+        |sm5 AS (SELECT v, ((((y * 2496678331) % 4294967296::HUGEINT) * 4294967296::HUGEINT
+        |  + (y * 321982955) % 18446744073709551616::HUGEINT)
+        |  % 18446744073709551616::HUGEINT)::UBIGINT AS x3 FROM sm4),
+        |seedmix AS MATERIALIZED (SELECT v, xor(x3, x3 >> 31) AS m FROM sm5),
+        |ids AS (SELECT unnest(range(200)) AS i),
+        |shapes AS MATERIALIZED (
+        |  SELECT i.i,
+        |    CASE i.i % 3 WHEN 0 THEN 'image/png'
+        |                 WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
+        |    CASE WHEN i.i % 3 = 0 THEN 4 + (a.m % 8)::BIGINT END AS w,
+        |    CASE WHEN i.i % 3 = 0 THEN 4 + (b.m % 8)::BIGINT END AS h,
+        |    CASE WHEN i.i % 3 <> 0 THEN 64 + (a.m % 1024)::BIGINT END AS len
+        |  FROM ids i JOIN seedmix a ON a.v = i.i JOIN seedmix b ON b.v = i.i + 1),
+        |units AS (
+        |  SELECT s.i, x.x AS ax, y.y AS ay,
+        |    s.i * 1000003 + y.y * 131 + x.x AS u
+        |  FROM shapes s, range(11) x(x), range(11) y(y)
+        |  WHERE s.mime = 'image/png' AND x.x < s.w AND y.y < s.h
+        |  UNION ALL
+        |  SELECT s.i, j.j AS ax, -1 AS ay, s.i * 1000003 + j.j AS u
+        |  FROM shapes s, range(1088) j(j)
+        |  WHERE s.mime <> 'image/png' AND j.j < s.len),
+        |um1 AS (SELECT i, ax, ay, ((u::HUGEINT + 11400714819323198485::HUGEINT)
+        |  % 18446744073709551616::HUGEINT)::UBIGINT AS x1 FROM units),
+        |um2 AS (SELECT i, ax, ay, xor(x1, x1 >> 30)::HUGEINT AS y FROM um1),
+        |um3 AS (SELECT i, ax, ay, ((((y * 3210233709) % 4294967296::HUGEINT) * 4294967296::HUGEINT
+        |  + (y * 484763065) % 18446744073709551616::HUGEINT)
+        |  % 18446744073709551616::HUGEINT)::UBIGINT AS x2 FROM um2),
+        |um4 AS (SELECT i, ax, ay, xor(x2, x2 >> 27)::HUGEINT AS y FROM um3),
+        |um5 AS (SELECT i, ax, ay, ((((y * 2496678331) % 4294967296::HUGEINT) * 4294967296::HUGEINT
+        |  + (y * 321982955) % 18446744073709551616::HUGEINT)
+        |  % 18446744073709551616::HUGEINT)::UBIGINT AS x3 FROM um4),
+        |unitmix AS MATERIALIZED (
+        |  SELECT i, ax, ay, xor(x3, x3 >> 31) AS m FROM um5),
+        |px AS (
+        |  SELECT p.i, s.w, s.h,
+        |    ((p.m % 16777216) // 65536)::BIGINT AS r,
+        |    ((p.m % 65536) // 256)::BIGINT AS g,
+        |    (p.m % 256)::BIGINT AS b,
+        |    (CASE WHEN p.ay * 2 >= s.h THEN 2 ELSE 0 END
+        |     + CASE WHEN p.ax * 2 >= s.w THEN 1 ELSE 0 END) AS q
+        |  FROM unitmix p JOIN shapes s ON s.i = p.i
+        |  WHERE s.mime = 'image/png' AND p.ay >= 0),
+        |imgf AS (
+        |  SELECT i, any_value(w) AS w, any_value(h) AS h,
+        |    sum(r) AS sr, sum(g) AS sg, sum(b) AS sb,
+        |    sum(299*r + 587*g + 114*b) AS lall,
+        |    sum(CASE WHEN q = 0 THEN 299*r + 587*g + 114*b ELSE 0 END) AS l0,
+        |    sum(CASE WHEN q = 1 THEN 299*r + 587*g + 114*b ELSE 0 END) AS l1,
+        |    sum(CASE WHEN q = 2 THEN 299*r + 587*g + 114*b ELSE 0 END) AS l2,
+        |    sum(CASE WHEN q = 3 THEN 299*r + 587*g + 114*b ELSE 0 END) AS l3,
+        |    sum(CASE WHEN q = 0 THEN 1 ELSE 0 END) AS n0,
+        |    sum(CASE WHEN q = 1 THEN 1 ELSE 0 END) AS n1,
+        |    sum(CASE WHEN q = 2 THEN 1 ELSE 0 END) AS n2,
+        |    sum(CASE WHEN q = 3 THEN 1 ELSE 0 END) AS n3
+        |  FROM px GROUP BY i),
+        |sndf AS (
+        |  SELECT b.i,
+        |    sum(CASE WHEN b.ax % 8 = 0 THEN b.m % 256 ELSE 0 END)::BIGINT AS s0,
+        |    sum(CASE WHEN b.ax % 8 = 1 THEN b.m % 256 ELSE 0 END)::BIGINT AS s1,
+        |    sum(CASE WHEN b.ax % 8 = 2 THEN b.m % 256 ELSE 0 END)::BIGINT AS s2,
+        |    sum(CASE WHEN b.ax % 8 = 3 THEN b.m % 256 ELSE 0 END)::BIGINT AS s3,
+        |    sum(CASE WHEN b.ax % 8 = 4 THEN b.m % 256 ELSE 0 END)::BIGINT AS s4,
+        |    sum(CASE WHEN b.ax % 8 = 5 THEN b.m % 256 ELSE 0 END)::BIGINT AS s5,
+        |    sum(CASE WHEN b.ax % 8 = 6 THEN b.m % 256 ELSE 0 END)::BIGINT AS s6,
+        |    sum(CASE WHEN b.ax % 8 = 7 THEN b.m % 256 ELSE 0 END)::BIGINT AS s7
+        |  FROM unitmix b JOIN shapes s ON s.i = b.i
+        |  WHERE s.mime <> 'image/png' AND b.ay = -1 GROUP BY b.i)
+        |SELECT f.i AS media_id, 'image/png' AS mime,
+        |  f.w::INTEGER AS width, f.h::INTEGER AS height,
+        |  (f.sr::DOUBLE / (f.w*f.h) / 255.0)::FLOAT AS f0,
+        |  (f.sg::DOUBLE / (f.w*f.h) / 255.0)::FLOAT AS f1,
+        |  (f.sb::DOUBLE / (f.w*f.h) / 255.0)::FLOAT AS f2,
+        |  (f.lall::DOUBLE / 1000.0 / (f.w*f.h) / 255.0)::FLOAT AS f3,
+        |  (f.l0::DOUBLE / 1000.0 / f.n0 / 255.0)::FLOAT AS f4,
+        |  (f.l1::DOUBLE / 1000.0 / f.n1 / 255.0)::FLOAT AS f5,
+        |  (f.l2::DOUBLE / 1000.0 / f.n2 / 255.0)::FLOAT AS f6,
+        |  (f.l3::DOUBLE / 1000.0 / f.n3 / 255.0)::FLOAT AS f7
+        |FROM imgf f
+        |UNION ALL
+        |SELECT s.i AS media_id, s.mime,
+        |  NULL::INTEGER AS width, NULL::INTEGER AS height,
+        |  (d.s0::DOUBLE / 255.0)::FLOAT AS f0, (d.s1::DOUBLE / 255.0)::FLOAT AS f1,
+        |  (d.s2::DOUBLE / 255.0)::FLOAT AS f2, (d.s3::DOUBLE / 255.0)::FLOAT AS f3,
+        |  (d.s4::DOUBLE / 255.0)::FLOAT AS f4, (d.s5::DOUBLE / 255.0)::FLOAT AS f5,
+        |  (d.s6::DOUBLE / 255.0)::FLOAT AS f6, (d.s7::DOUBLE / 255.0)::FLOAT AS f7
+        |FROM shapes s JOIN sndf d ON d.i = s.i
+        |WHERE s.mime <> 'image/png'""".stripMargin,
 
       "c_corpus_from_graph" -> s"""
         |WITH ${candSql("")},

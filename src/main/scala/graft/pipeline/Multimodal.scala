@@ -43,7 +43,12 @@ object Multimodal {
     * decodable image. Feature: mean R, G, B, luma over the full frame plus
     * mean luma of the four quadrants, all in [0, 1] — deterministic pure
     * functions of the decoded pixels (PNG is lossless, so these values are
-    * independent of encoder details). */
+    * independent of encoder details).
+    *
+    * Accumulation is INTEGER (luma scaled by 1000: 299r + 587g + 114b), so
+    * partial sums are exact and order-independent — the result is
+    * bit-replayable by any engine that can sum integers and divide doubles
+    * in the same order (the mm_features DuckDB oracle does exactly that). */
   private[pipeline] def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Float])] = {
     if (payload == null) return None
     try {
@@ -52,8 +57,8 @@ object Multimodal {
       val w = img.getWidth
       val h = img.getHeight
       if (w <= 0 || h <= 0) return None
-      var sr = 0.0; var sg = 0.0; var sb = 0.0
-      val quad = new Array[Double](4)
+      var sr = 0L; var sg = 0L; var sb = 0L
+      val quad = new Array[Long](4) // Σ(299r + 587g + 114b) per quadrant
       val quadN = new Array[Long](4)
       var y = 0
       while (y < h) {
@@ -64,22 +69,24 @@ object Multimodal {
           val g = (rgb >> 8) & 0xff
           val b = rgb & 0xff
           sr += r; sg += g; sb += b
-          val luma = 0.299 * r + 0.587 * g + 0.114 * b
+          val luma1000 = 299L * r + 587L * g + 114L * b
           val q = (if (y * 2 >= h) 2 else 0) + (if (x * 2 >= w) 1 else 0)
-          quad(q) += luma; quadN(q) += 1
+          quad(q) += luma1000; quadN(q) += 1
           x += 1
         }
         y += 1
       }
       val n = w.toLong * h
       val f = new Array[Float](8)
-      f(0) = (sr / n / 255.0).toFloat
-      f(1) = (sg / n / 255.0).toFloat
-      f(2) = (sb / n / 255.0).toFloat
-      f(3) = ((0.299 * sr + 0.587 * sg + 0.114 * sb) / n / 255.0).toFloat
+      f(0) = (sr.toDouble / n / 255.0).toFloat
+      f(1) = (sg.toDouble / n / 255.0).toFloat
+      f(2) = (sb.toDouble / n / 255.0).toFloat
+      f(3) = ((299L * sr + 587L * sg + 114L * sb).toDouble / 1000.0 / n / 255.0).toFloat
       var q = 0
       while (q < 4) {
-        f(4 + q) = if (quadN(q) == 0) 0.0f else (quad(q) / quadN(q) / 255.0).toFloat
+        f(4 + q) =
+          if (quadN(q) == 0) 0.0f
+          else (quad(q).toDouble / 1000.0 / quadN(q) / 255.0).toFloat
         q += 1
       }
       Some((w, h, f))
@@ -91,16 +98,23 @@ object Multimodal {
     * stub derives a deterministic 8-dim "feature" from payload bytes so
     * every downstream operator (batching, schema, partition behavior, ANN
     * join) is exercised end-to-end with stable expected values. A real
-    * deployment plugs javacv/ffmpeg in here. */
+    * deployment plugs javacv/ffmpeg in here.
+    *
+    * Lane sums are exact integers (byte values per `i % 8` lane), divided
+    * once at the end — order-independent and SQL-replayable, like
+    * `decodeImage`. */
   private[pipeline] def stubDecodeFeature(payload: Array[Byte]): Array[Float] = {
-    val f = new Array[Float](8)
+    val lanes = new Array[Long](8)
     if (payload != null) {
       var i = 0
       while (i < payload.length) {
-        f(i % 8) += (payload(i) & 0xff) / 255.0f
+        lanes(i % 8) += (payload(i) & 0xff)
         i += 1
       }
     }
+    val f = new Array[Float](8)
+    var k = 0
+    while (k < 8) { f(k) = (lanes(k).toDouble / 255.0).toFloat; k += 1 }
     f
   }
 
