@@ -32,8 +32,11 @@ object Metrics {
   /** Normalize membership rows to unit vectors (cos = dot thereafter). */
   def normalized(memberships: DataFrame): DataFrame = {
     val norm = sqrt(aggregate(col("membership"), lit(0.0), (a, x) => a + x * x))
+    // bind the norm once per row (lambda variable), not per element: the
+    // captured-aggregate form re-ran the O(d) sum inside the scaling lambda
     memberships.select(col("nodeId"),
-      transform(col("membership"), x => x / norm).as("u"))
+      element_at(transform(array(norm),
+        nrm => transform(col("membership"), x => x / nrm)), 1).as("u"))
   }
 
   private def vecSum(df: DataFrame, vecCol: String, dims: Int): Seq[Double] = {

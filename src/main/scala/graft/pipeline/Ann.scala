@@ -29,7 +29,10 @@ object Ann {
   def normalize(vec: Column): Column = {
     val d = aggregate(vec, lit(0.0),
       (acc, x) => acc + x.cast("double") * x.cast("double"))
-    transform(vec, x => x.cast("double") / sqrt(d))
+    // bind the norm ONCE per row as a lambda variable: capturing `d` inside
+    // the scaling lambda would re-run the O(d) aggregate per element (O(d²))
+    element_at(transform(array(sqrt(d)),
+      nrm => transform(vec, x => x.cast("double") / nrm)), 1)
   }
 
   /** Exact top-k neighbors per query vector against the corpus; both inputs

@@ -126,6 +126,19 @@ object Dedup {
     *    sizes (both sides consistently), so Jaccard is computed exactly on
     *    the capped gram sets — standard verify practice; document the cap
     *    when reporting similarity semantics.
+    *
+    * When `minJaccard > 0` and no candidate frame is given, candidate pairs
+    * come from LOSSLESS prefix filtering (AllPairs, Bayardo et al. WWW'07):
+    * grams get a global canonical order (document frequency asc, then gram),
+    * each doc keeps only its first `|d| - ceil(t*|d|) + 1` grams in that
+    * order, and only prefixes are pair-joined — any pair with Jaccard ≥ t
+    * must share a gram inside both prefixes, so no qualifying pair is lost,
+    * while the hot-gram quadratic blow-up (common grams sort LAST and fall
+    * outside most prefixes) never reaches the join. A size filter
+    * (`t·|A| ≤ |B| ≤ |A|/t`) prunes inside the join, and the final Jaccard
+    * is verified exactly on the full gram sets, so the output is identical
+    * to the brute-force pair counting (spec-asserted). This is the 100 TB
+    * default: the only quadratic step runs over rarest-first prefixes.
     */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, minJaccard: Double = 0.0,
@@ -147,10 +160,33 @@ object Dedup {
         grams1.join(hot, Seq("g"), "left_anti")
       }
     val counts = grams.groupBy("id").agg(count(lit(1)).as("sz"))
-    val inter0 = grams.as("a").join(grams.as("b"),
-        col("a.g") === col("b.g") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
-      .agg(count(lit(1)).as("inter"))
+    val inter0 =
+      if (minJaccard > 0.0 && candidates.isEmpty) {
+        // AllPairs prefix filtering (lossless — see scaladoc). ceil args get
+        // a -1e-9 nudge so an FP wobble can only LENGTHEN a prefix / WEAKEN
+        // the size filter, never lose a qualifying pair.
+        val t = lit(minJaccard)
+        val gdf = grams.groupBy("g").agg(count(lit(1)).as("gdf"))
+        val prefix = grams.join(gdf, "g")
+          .withColumn("pos", row_number().over(
+            Window.partitionBy("id").orderBy(col("gdf"), col("g"))))
+          .withColumn("sz", count(lit(1)).over(Window.partitionBy("id")))
+          .where(col("pos") <= col("sz") - ceil(t * col("sz") - lit(1e-9)) + 1)
+          .select(col("id"), col("g"), col("sz"))
+        val cand = prefix.as("a").join(prefix.as("b"),
+            col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
+              col("b.sz") >= ceil(t * col("a.sz") - lit(1e-9)) &&
+              col("a.sz") >= ceil(t * col("b.sz") - lit(1e-9)))
+          .select(col("a.id").as("id1"), col("b.id").as("id2"))
+          .distinct()
+        // exact verify over the FULL gram sets, restricted to candidates
+        cand.join(grams.select(col("id").as("id1"), col("g")), Seq("id1"))
+          .join(grams.select(col("id").as("id2"), col("g")), Seq("id2", "g"))
+          .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
+      } else grams.as("a").join(grams.as("b"),
+          col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+        .agg(count(lit(1)).as("inter"))
     val inter = candidates match {
       case Some(c) => inter0.join(
         c.select(least(col("id1"), col("id2")).as("id1"),

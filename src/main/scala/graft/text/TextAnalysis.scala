@@ -121,12 +121,18 @@ object TextAnalysis {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Word n-grams as an array column (same descending-sequence guard). */
-  def wordNgrams(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    val m = size(toks) - (n - 1)
-    when(m >= 1,
-      transform(sequence(lit(0), m - 1), i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** Word n-grams as an array column (same descending-sequence guard).
+    *
+    * The tokenization is bound ONCE per row as a lambda variable (the
+    * 1-element-array `transform` trick): inlining `tokens(text)` into the
+    * inner lambda would re-run the regex split per n-gram element — O(T²)
+    * regex work per document, which dominated the whole ngram-Jaccard
+    * pipeline (7s of a 10s query just materializing grams at sf0.1). */
+  def wordNgrams(text: Column, n: Int): Column =
+    element_at(transform(array(tokens(text)), toks => {
+      val m = size(toks) - (n - 1)
+      when(m >= 1,
+        transform(sequence(lit(0), m - 1), i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    }), 1)
 }

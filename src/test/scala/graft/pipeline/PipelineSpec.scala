@@ -43,6 +43,26 @@ class DedupSpec extends SparkSpec {
     assert(!sims.contains((0L, 5L)), "no shared ngram, no pair emitted")
   }
 
+  test("ngram jaccard: prefix-filtered path matches brute force exactly") {
+    // small vocab => dense near-dups AND hot grams (the case prefix
+    // filtering must survive losslessly); plus gram-less docs
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val rdocs = ((0L until 60L).map { i =>
+      val len = 3 + rnd.nextInt(10)
+      (i, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    } ++ Seq((100L, ""), (101L, "solo"))).toDF("id", "text")
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      // brute force = the t=0 pair-counting path, thresholded after
+      val brute = Dedup.ngramJaccard(rdocs, "id", "text", n = 2)
+        .where(col("jaccard") >= t)
+        .as[(Long, Long, Double)].collect().toSet
+      val pref = Dedup.ngramJaccard(rdocs, "id", "text", n = 2, minJaccard = t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(pref == brute, s"prefix vs brute mismatch at t=$t")
+    }
+  }
+
   test("simhash: identical docs have hamming 0, near dups small distance") {
     val cand = Dedup.simhashCandidates(docs, "id", "text", maxHamming = 12)
       .as[(Long, Long, Int)].collect()
