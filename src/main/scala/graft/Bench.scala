@@ -46,8 +46,15 @@ object Bench {
     // CacheManager entries (e.g. triangles' cached canonical frame), so
     // both executions start cache-cold and steady never silently reads a
     // prior run's materialized state.
+    // steady = best of SPARK_GRAFT_STEADY_REPS (default 2) cache-cleared
+    // re-executions: this hypervisor's noise comes in multi-minute phases
+    // that can double a single timing (observed 2-4x swings on unchanged
+    // code between same-day runs), and one extra execution per query costs
+    // ~1 min against a 40-min bench.
     // Honesty: a failed query surfaces as an error marker, never as a
     // fast-looking timing.
+    val steadyReps =
+      math.max(1, sys.env.getOrElse("SPARK_GRAFT_STEADY_REPS", "2").toInt)
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         def once(): (Double, Option[String]) = {
@@ -62,7 +69,11 @@ object Bench {
         }
         val (tFirst, errFirst) = once()
         val (tSteady, errSteady) =
-          if (errFirst.isDefined) (tFirst, errFirst) else once()
+          if (errFirst.isDefined) (tFirst, errFirst)
+          else {
+            val reps = (0 until steadyReps).map(_ => once())
+            (reps.map(_._1).min, reps.flatMap(_._2).headOption)
+          }
         (name, tSteady, tFirst, errFirst.orElse(errSteady))
       }
     }
@@ -86,7 +97,10 @@ object Bench {
     // JVM warm-up through the full pagerank path (JIT parity across levels)
     ScalingProbe.measure(cpus, prPages / 5, 2)
 
-    val (edgesN, prSecs) = ScalingProbe.measure(cpus, prPages, prIters)
+    // north metric: best-of-SPARK_GRAFT_PR_REPS (default 3) in the warmed
+    // session — same phase-noise defense as the steady query reps above
+    val prReps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_PR_REPS", "3").toInt)
+    val (edgesN, prSecs) = ScalingProbe.measure(cpus, prPages, prIters, prReps)
     val edgesPerSec = edgesN.toDouble * prIters / prSecs
     val superstepsPerHour = prIters / prSecs * 3600.0
 
