@@ -101,6 +101,14 @@ object Dedup {
             .as("bucket")))
     ).as(Seq("i", "bb")))
       .select(col("id"), col("bb.band"), col("bb.bucket"))
+      // shuffle ONCE on the join key: both sides of the self-join below are
+      // then the same canonical exchange, so Spark serves one side as a
+      // ReusedExchange — the parquet scan, shingling and signature UDF run
+      // once, not twice. (Without this, the planner broadcasts one side at
+      // small scale — or sort-merge-joins at web scale — and either way
+      // re-executes the whole signature subplan per side: 2× the dominant
+      // cost of the operator on a 100 TB corpus.)
+      .repartition(col("band"), col("bucket"))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
           && col("a.id") < col("b.id"))
@@ -274,6 +282,11 @@ object Dedup {
     }
     val blocks = withFp.select(col("id"), col("fp"),
       posexplode(array(blockCols: _*)).as(Seq("q", "qv")))
+      // same single-shuffle self-join shape as minhashCandidates: one
+      // exchange on the join key, the other side a ReusedExchange — the
+      // fingerprint subplan (simhash UDF over every token at web scale)
+      // executes once, not once per join side
+      .repartition(col("q"), col("qv"))
     val ham = (a: Column, b: Column) => bit_count(a.bitwiseXOR(b))
     blocks.as("a").join(blocks.as("b"),
         col("a.q") === col("b.q") && col("a.qv") === col("b.qv")

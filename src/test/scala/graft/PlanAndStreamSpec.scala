@@ -133,6 +133,28 @@ class PlanSpec extends SparkSpec {
     } finally spark.catalog.clearCache()
   }
 
+  test("dedup self-joins read ONE shuffled subplan via exchange reuse") {
+    // minhashCandidates / simhashCandidatesFp self-join a frame whose
+    // subplan carries the expensive per-document hashing (signature /
+    // fingerprint UDF over full text). Both repartition that frame on the
+    // join key exactly once, so the second join side must be served as a
+    // ReusedExchange (AQE reused stage) — document scan + hashing execute
+    // once, not once per join side (2x the dominant cost at 100 TB).
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (q <- Seq(
+        graft.pipeline.Dedup.minhashCandidates(docs, "doc_id", "text")
+          .select("id1", "id2"),
+        graft.pipeline.Dedup.simhashCandidates(docs, "doc_id", "text",
+          maxHamming = 3).select("id1", "id2"))) {
+      val plan = executed(q)
+      val finalPlan = plan.linesIterator
+        .takeWhile(!_.contains("== Initial Plan ==")).toSeq
+      assert(finalPlan.exists(_.contains("ReusedExchange")), plan.take(3000))
+      assert(finalPlan.count(_.contains("FileScan parquet")) == 1,
+        plan.take(3000))
+    }
+  }
+
   test("dangling-mass total reads the contribution shuffle via exchange reuse") {
     // replicate the PageRank superstep's dangling branch UNDER THE
     // KERNEL'S EXECUTION CONDITIONS (AQE off — PageRank.run scopes it off
