@@ -46,35 +46,89 @@ object Dedup {
 
   // ---- MinHash + LSH --------------------------------------------------------
 
-  /** Deterministic k-minhash signature in ONE pass over the shingle array.
+  /** Deterministic k-minhash signature in ONE pass over the raw text.
     *
-    * The previous declarative form (`transform(base, h => xxhash64(h, i))`
-    * + `array_min`, once per hash index) re-walked the full shingle array
-    * `numHashes` times per document and was the dominant cost of
-    * `minhashCandidates` (44s of a 127s bench round). Here a single scalar
-    * UDF hashes each shingle once (polynomial hash + splitmix finalizer)
-    * and updates all k minima in the same loop — `numHashes`× fewer array
-    * traversals, and the per-index remix is one xor+mix instead of a full
-    * xxhash64 re-dispatch. Deterministic, partition-independent. */
+    * Bit-identical to hashing `TextAnalysis.shingles(text, shingleK)`
+    * (spec-asserted, incl. non-BMP text), but never materializes the
+    * shingle strings or the distinct-array: each k-codepoint window is
+    * poly-hashed in place over the text's UTF-16 units (the same units
+    * `substring`-built shingle strings expose via `charAt`), then
+    * splitmix-finalized and remixed per hash index. Windows advance by CODE
+    * POINT to match SQL `substring`/`length` semantics — a surrogate-free
+    * fast path covers ordinary text, and a start-offset table handles
+    * supplementary characters. Duplicate windows are skipped via an
+    * open-address set keyed on the finalized window hash: a repeated
+    * shingle can't move any minimum (and even a 64-bit collision between
+    * distinct shingles is harmless — the k remixes depend only on the
+    * window hash). This removes the dominant allocation cost of
+    * `minhashCandidates` (one String + one array entry per window) and the
+    * k remixes for every repeated window. Deterministic,
+    * partition-independent. */
   def minhashSignature(textCol: Column, shingleK: Int, numHashes: Int): Column = {
     val k = numHashes
-    val sigUdf = udf { (shingles: Seq[String]) =>
+    val kk = shingleK
+    val sigUdf = udf { (text: String) =>
       val mins = Array.fill(k)(Long.MaxValue)
-      if (shingles != null) shingles.foreach { s =>
-        var h = 1125899906842597L
-        var j = 0
-        while (j < s.length) { h = h * 1000003L + s.charAt(j).toLong; j += 1 }
-        h = graft.ingest.Pages.mix(h)
-        var i = 0
-        while (i < k) {
-          val hi = graft.ingest.Pages.mix(h ^ (i.toLong * 0x9E3779B97F4A7C15L))
-          if (hi < mins(i)) mins(i) = hi
-          i += 1
+      if (text != null && text.length >= kk) {
+        val n = text.length
+        var surrogate = false
+        var p = 0
+        while (p < n) {
+          val c = text.charAt(p)
+          if (c >= 0xD800 && c <= 0xDFFF) { surrogate = true; p = n }
+          p += 1
+        }
+        // code-point start offsets; null for the surrogate-free fast path
+        val starts: Array[Int] =
+          if (!surrogate) null
+          else {
+            val b = scala.collection.mutable.ArrayBuffer.empty[Int]
+            var i = 0
+            while (i < n) {
+              b += i
+              i += (if (Character.isHighSurrogate(text.charAt(i)) && i + 1 < n &&
+                        Character.isLowSurrogate(text.charAt(i + 1))) 2 else 1)
+            }
+            b.toArray
+          }
+        val windows = (if (starts == null) n else starts.length) - kk + 1
+        if (windows > 0) {
+          val cap = java.lang.Integer.highestOneBit(math.max(windows * 2 - 1, 4)) << 1
+          val mask = (cap - 1).toLong
+          val seen = new Array[Long](cap)
+          var hasZero = false
+          var w = 0
+          while (w < windows) {
+            var h = 1125899906842597L
+            val from = if (starts == null) w else starts(w)
+            val until =
+              if (starts == null) w + kk
+              else if (w + kk < starts.length) starts(w + kk) else n
+            var j = from
+            while (j < until) { h = h * 1000003L + text.charAt(j).toLong; j += 1 }
+            h = graft.ingest.Pages.mix(h)
+            var fresh = true
+            if (h == 0L) { fresh = !hasZero; hasZero = true }
+            else {
+              var idx = (h & mask).toInt
+              while (seen(idx) != 0L && seen(idx) != h) idx = (idx + 1) & mask.toInt
+              if (seen(idx) == h) fresh = false else seen(idx) = h
+            }
+            if (fresh) {
+              var i = 0
+              while (i < k) {
+                val hi = graft.ingest.Pages.mix(h ^ (i.toLong * 0x9E3779B97F4A7C15L))
+                if (hi < mins(i)) mins(i) = hi
+                i += 1
+              }
+            }
+            w += 1
+          }
         }
       }
       mins.toSeq
     }
-    sigUdf(TextAnalysis.shingles(textCol, shingleK))
+    sigUdf(textCol)
   }
 
   /** Candidate near-dup pairs via banded LSH: docs sharing any band bucket.

@@ -100,6 +100,51 @@ class DedupSpec extends SparkSpec {
       "explicit 4-block (16-bit) blocking guarantees only hamming <= 3")
   }
 
+  test("windowed minhash signature is bit-identical to the shingle-array form") {
+    // reference = the previous implementation: hash each DISTINCT shingle
+    // string (substring semantics: k CODE POINTS per shingle), then the
+    // same splitmix remix chain per hash index
+    val k = 12
+    val refUdf = udf { (shingles: Seq[String]) =>
+      val mins = Array.fill(k)(Long.MaxValue)
+      if (shingles != null) shingles.foreach { s =>
+        var h = 1125899906842597L
+        var j = 0
+        while (j < s.length) { h = h * 1000003L + s.charAt(j).toLong; j += 1 }
+        h = graft.ingest.Pages.mix(h)
+        var i = 0
+        while (i < k) {
+          val hi = graft.ingest.Pages.mix(h ^ (i.toLong * 0x9E3779B97F4A7C15L))
+          if (hi < mins(i)) mins(i) = hi
+          i += 1
+        }
+      }
+      mins.toSeq
+    }
+    val rnd = new scala.util.Random(11)
+    val emoji = Array("😀", "🤖", "🚀") // non-BMP
+    val cases = Seq("", "a", "abcd", "abcde", "aaaaaaaaaaaaaaaa",
+        "ab😀cd", "😀🤖🚀ab",
+        null.asInstanceOf[String]) ++
+      (0 until 40).map { i =>
+        val len = rnd.nextInt(60)
+        (0 until len).map { _ =>
+          if (rnd.nextInt(10) == 0) emoji(rnd.nextInt(3))
+          else ('a' + rnd.nextInt(6)).toChar.toString // small alphabet => dup windows
+        }.mkString
+      }
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    for (kk <- Seq(3, 5)) {
+      val got = df.select($"id",
+          Dedup.minhashSignature($"text", kk, k).as("sig"))
+        .as[(Long, Seq[Long])].collect().toMap
+      val want = df.select($"id",
+          refUdf(graft.text.TextAnalysis.shingles($"text", kk)).as("sig"))
+        .as[(Long, Seq[Long])].collect().toMap
+      assert(got == want, s"windowed vs shingle-array signature diverged at k=$kk")
+    }
+  }
+
   test("signatures are deterministic across partitionings") {
     val s1 = docs.repartition(1)
       .select($"id", Dedup.simhash($"text")).as[(Long, Long)].collect().toMap
