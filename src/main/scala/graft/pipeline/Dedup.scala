@@ -214,12 +214,23 @@ object Dedup {
         grams0.join(ids, Seq("id"), "left_semi")
       case None => grams0
     }
+    // Materialize the scan + ngram explode ONCE: every downstream consumer
+    // (per-doc counts, gram document frequencies, the prefix join, the two
+    // exact-verify joins — and the hot-gram filter when maxGramDf is set)
+    // references this same exchange subtree, so the physical plan serves
+    // them all from one ReusedExchange instead of re-running the document
+    // scan and gram explosion per consumer (5 rescans of a 100 TB corpus
+    // otherwise; same shape as minhashCandidates' single-shuffle self-join).
+    // Keyed by gram because the AllPairs core (df counts + prefix join) is
+    // the g-clustered hot path; id-keyed consumers re-shuffle the exchange
+    // OUTPUT, never the scan.
+    val gramsR = grams1.repartition(col("g"))
     val grams =
-      if (maxGramDf <= 0L) grams1
+      if (maxGramDf <= 0L) gramsR
       else {
-        val hot = grams1.groupBy("g").agg(count(lit(1)).as("gdf"))
+        val hot = gramsR.groupBy("g").agg(count(lit(1)).as("gdf"))
           .where(col("gdf") > maxGramDf).select("g")
-        grams1.join(hot, Seq("g"), "left_anti")
+        gramsR.join(hot, Seq("g"), "left_anti")
       }
     val counts = grams.groupBy("id").agg(count(lit(1)).as("sz"))
     val inter0 =
