@@ -223,12 +223,25 @@ object Dedup {
     // otherwise; same shape as minhashCandidates' single-shuffle self-join).
     // Keyed by gram because the AllPairs core (df counts + prefix join) is
     // the g-clustered hot path; id-keyed consumers re-shuffle the exchange
-    // OUTPUT, never the scan.
-    val gramsR = grams1.repartition(col("g"))
+    // OUTPUT, never the scan. The explicit not-null filter is a semantic
+    // no-op (explode yields no null grams, ids come from the scan) but
+    // load-bearing for the reuse: join consumers infer isnotnull(g)/
+    // isnotnull(id) and push them BELOW the exchange, while aggregate-only
+    // consumers (per-doc counts, gram dfs) don't — leaving the subtrees
+    // canonically different, which defeats the exchange dedup. Stating the
+    // filters once here makes every consumer's exchange subtree identical.
+    val gramsR = grams1
+      .where(col("g").isNotNull && col("id").isNotNull)
+      .repartition(col("g"))
     val grams =
       if (maxGramDf <= 0L) gramsR
       else {
-        val hot = gramsR.groupBy("g").agg(count(lit(1)).as("gdf"))
+        // count("id"), not count(1): id is non-null so they're equal, but
+        // count(1) lets column pruning drop id below the shared exchange,
+        // leaving this branch's subtree canonically different from the
+        // join consumers' — which defeats the exchange reuse (same for
+        // gdf below).
+        val hot = gramsR.groupBy("g").agg(count(col("id")).as("gdf"))
           .where(col("gdf") > maxGramDf).select("g")
         gramsR.join(hot, Seq("g"), "left_anti")
       }
@@ -239,7 +252,7 @@ object Dedup {
         // a -1e-9 nudge so an FP wobble can only LENGTHEN a prefix / WEAKEN
         // the size filter, never lose a qualifying pair.
         val t = lit(minJaccard)
-        val gdf = grams.groupBy("g").agg(count(lit(1)).as("gdf"))
+        val gdf = grams.groupBy("g").agg(count(col("id")).as("gdf"))
         val prefix = grams.join(gdf, "g")
           .withColumn("pos", row_number().over(
             Window.partitionBy("id").orderBy(col("gdf"), col("g"))))

@@ -155,6 +155,40 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("ngram Jaccard reads the document scan ONCE via a shared gram exchange") {
+    // ngramJaccard repartitions the exploded gram table by gram before
+    // fanning out to its consumers (per-doc sizes, gram document
+    // frequencies, the AllPairs prefix join, the exact-verify joins), so
+    // the physical plan must contain exactly ONE parquet scan of the
+    // document table plus ReusedExchange nodes for every further consumer
+    // — the scan + tokenize + ngram explode run once, not once per
+    // consumer (5 corpus rescans at 100 TB otherwise). Broadcast joins are
+    // scoped off: that is the web-scale regime (no join side of the gram
+    // table broadcasts at 100 TB), and at sf0.001 AQE would otherwise
+    // broadcast the tiny self-join side, re-executing the scan into the
+    // broadcast build instead of reading the shared exchange.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      for (q <- Seq(
+          // brute-force exact path: self-join + size joins
+          graft.pipeline.Dedup.ngramJaccard(docs, "doc_id", "text", n = 3),
+          // AllPairs prefix-filter path: df counts + prefix self-join +
+          // exact verify — the widest consumer fan-out
+          graft.pipeline.Dedup.ngramJaccard(docs, "doc_id", "text", n = 3,
+            minJaccard = 0.4))) {
+        val plan = executed(q)
+        val finalPlan = plan.linesIterator
+          .takeWhile(!_.contains("== Initial Plan ==")).toSeq
+        assert(finalPlan.exists(_.contains("ReusedExchange")), plan.take(3000))
+        assert(finalPlan.count(_.contains("FileScan parquet")) == 1,
+          plan.take(3000))
+      }
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("dangling-mass total reads the contribution shuffle via exchange reuse") {
     // replicate the PageRank superstep's dangling branch UNDER THE
     // KERNEL'S EXECUTION CONDITIONS (AQE off — PageRank.run scopes it off
