@@ -147,9 +147,17 @@ object Ann {
     * is deduped. */
   def lshTopK(data: DataFrame, k: Int, numPlanes: Int = 8,
       numTables: Int = 2, maxBucketSize: Long = 0L): DataFrame = {
-    // signatures project the vector away before anything shuffles
+    // ONE id-keyed exchange of (id, vec) feeds every consumer: each
+    // table's signature branch and both vector re-attach joins below (the
+    // joins are already partitioned on their key through the qid/cid
+    // aliases, so re-attaching adds no further vector shuffle). The
+    // embeddings are read from storage once and cross the wire once —
+    // without this the plan scans the corpus numTables+2 times and
+    // shuffles the full vectors once per join side (plan-audited; see
+    // PlanAudit and the exchange-reuse notes in Dedup.ngramJaccard).
+    val base = data.select(col("id"), col("vec")).repartition(col("id"))
     val sigs0 = (0 until numTables).map { t =>
-      data.select(col("id"),
+      base.select(col("id"),
         lit(t).as("table"),
         hyperplaneSignature(col("vec"), numPlanes, planeOffset = t * numPlanes)
           .as("bucket"))
@@ -170,7 +178,7 @@ object Ann {
       .distinct()
     // vectors join back once per side; each pair is unique so the scored
     // frame needs no further dedup
-    val v = data.select(col("id"), col("vec"))
+    val v = base
     val scored = pairs
       .join(v.select(col("id").as("qid"), col("vec").as("qv")), "qid")
       .join(v.select(col("id").as("cid"), col("vec").as("cv")), "cid")
@@ -205,13 +213,16 @@ object Ann {
     * (off by default — see [[lshTopK]]). */
   def cosineNearDups(data: DataFrame, threshold: Double,
       numPlanes: Int = 8, maxBucketSize: Long = 0L): DataFrame = {
-    val sig0 = data.select(col("id"),
+    // one id-keyed exchange feeds the signature branch and both vector
+    // re-attach joins — one corpus scan, one vector shuffle (see lshTopK)
+    val base = data.select(col("id"), col("vec")).repartition(col("id"))
+    val sig0 = base.select(col("id"),
       hyperplaneSignature(col("vec"), numPlanes).as("bucket"))
     val sig = capBuckets(sig0, Seq("bucket"), maxBucketSize)
     val pairs = sig.as("a").join(sig.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
-    val v = data.select(col("id"), col("vec"))
+    val v = base
     pairs
       .join(v.select(col("id").as("id1"), col("vec").as("v1")), "id1")
       .join(v.select(col("id").as("id2"), col("vec").as("v2")), "id2")
