@@ -9,6 +9,15 @@ package graft
   * pipeline/Dedup.scala) — invisible at sf0.01, a doubled corpus read at
   * 100 TB.
   *
+  * Caveats when reading the counts: (a) plans that cache intermediate
+  * frames print the cache-build subtree under each InMemoryRelation, so
+  * their scans are counted once per cache CONSUMER even though they
+  * execute once at cache fill (c_tfidf, c_simranks); (b) queries reading
+  * k distinct tables legitimately show >= k scans; (c) a two-hop shape
+  * (j_twohop, corpus-from-graph) reads the same table under two different
+  * join keys — sharing that scan would trade against an extra full
+  * shuffle, so two scans is the intended plan there.
+  *
   * Usage: runMain graft.PlanAudit [queryName ...]   (default: all)
   */
 object PlanAudit {
