@@ -861,10 +861,12 @@ object SparkEntry {
 
       // random-hyperplane LSH top-1 replayed exactly: plane components are
       // mix(mix(plane) ^ (dim * C)) / 2^63 with mix = splitmix64 (the same
-      // hi/lo-split HUGEINT chain as d_simhash/d_minhash_pairs), projections
-      // and cosines are sequential left folds (list_reduce) matching the
-      // engine's fixed ascending-dim accumulation order bit-for-bit, so
-      // bucket membership and the top-1 argmax agree without rounding
+      // hi/lo-split HUGEINT chain as d_simhash/d_minhash_pairs), projections,
+      // per-vector normalization and per-pair dots are sequential left folds
+      // (list_reduce) matching the engine's fixed ascending-dim accumulation
+      // order bit-for-bit (Ann.normalize once per side, then one dot fold
+      // per pair), so bucket membership and the top-1 argmax agree without
+      // rounding
       "e_lsh_top1" -> """
         |WITH planes AS (SELECT unnest(range(16)) AS plane),
         |pm1 AS (SELECT plane, ((plane::HUGEINT + 11400714819323198485::HUGEINT)
@@ -904,6 +906,14 @@ object SparkEntry {
         |  SELECT plane, list(c ORDER BY j) AS cs FROM comp GROUP BY plane),
         |vecs AS MATERIALIZED (
         |  SELECT vec_id AS id, embedding AS v FROM embeddings),
+        |-- engine-identical normalization (Ann.normalize): norm² is the
+        |-- sequential ascending fold of x², each element divides by the one
+        |-- sqrt; per-pair sim below is then a single dot fold
+        |norms AS MATERIALIZED (
+        |  SELECT id, list_transform(v, x -> x::DOUBLE / sqrt(
+        |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(len(v)),
+        |      j -> v[j+1]::DOUBLE * v[j+1]::DOUBLE)), (a, b) -> a + b))) AS vn
+        |  FROM vecs),
         |proj AS (
         |  SELECT id, plane,
         |    list_reduce(list_prepend(0.0::DOUBLE,
@@ -920,14 +930,9 @@ object SparkEntry {
         |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id <> b.id),
         |scored AS (
         |  SELECT p.qid, p.cid,
-        |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(len(q.v)),
-        |      j -> q.v[j+1]::DOUBLE * c.v[j+1]::DOUBLE)), (a, b) -> a + b)
-        |    / sqrt(
-        |      list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(len(q.v)),
-        |        j -> q.v[j+1]::DOUBLE * q.v[j+1]::DOUBLE)), (a, b) -> a + b)
-        |      * list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(len(c.v)),
-        |        j -> c.v[j+1]::DOUBLE * c.v[j+1]::DOUBLE)), (a, b) -> a + b)) AS sim
-        |  FROM cand p JOIN vecs q ON p.qid = q.id JOIN vecs c ON p.cid = c.id)
+        |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(len(q.vn)),
+        |      j -> q.vn[j+1] * c.vn[j+1])), (a, b) -> a + b) AS sim
+        |  FROM cand p JOIN norms q ON p.qid = q.id JOIN norms c ON p.cid = c.id)
         |SELECT qid, cid FROM (
         |  SELECT qid, cid, row_number() OVER
         |    (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rk FROM scored)

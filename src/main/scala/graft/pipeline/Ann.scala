@@ -15,12 +15,14 @@ object Ann {
   /** Cosine over array columns via higher-order functions (declarative
     * form; fine off the hot path). The hot path pre-normalizes instead —
     * see [[bruteForceTopK]]. */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
+  def cosine(a: Column, b: Column): Column =
     dot(a, b) / sqrt(dot(a, a) * dot(b, b))
-  }
+
+  /** Sequential ascending-index dot-product fold (the fixed accumulation
+    * order every bit-exact oracle replays with a prepend-0 list_reduce). */
+  def dot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
 
   /** Normalize a float-vec column to a unit double array ONCE, so cosine
     * of any pair downstream is a single dot product (the reference-style
@@ -177,12 +179,19 @@ object Ann {
       .select(col("a.id").as("qid"), col("b.id").as("cid"))
       .distinct()
     // vectors join back once per side; each pair is unique so the scored
-    // frame needs no further dedup
+    // frame needs no further dedup. Normalizing HERE — once per row per
+    // side, above the shared exchange, below the join — makes every
+    // per-pair score a single dot-product fold; the per-pair cosine form
+    // (dot / sqrt(dot·dot)) costs three O(d) folds and three zipped-array
+    // allocations per CANDIDATE PAIR, which dominates when pairs >> rows.
+    // (The join boundary pins the evaluation: normalize is a projection
+    // over the exchange output, so it cannot be collapsed into the
+    // per-pair expression.)
     val v = base
     val scored = pairs
-      .join(v.select(col("id").as("qid"), col("vec").as("qv")), "qid")
-      .join(v.select(col("id").as("cid"), col("vec").as("cv")), "cid")
-      .select(col("qid"), col("cid"), cosine(col("qv"), col("cv")).as("sim"))
+      .join(v.select(col("id").as("qid"), normalize(col("vec")).as("qv")), "qid")
+      .join(v.select(col("id").as("cid"), normalize(col("vec")).as("cv")), "cid")
+      .select(col("qid"), col("cid"), dot(col("qv"), col("cv")).as("sim"))
     val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
@@ -222,11 +231,12 @@ object Ann {
     val pairs = sig.as("a").join(sig.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
+    // per-row normalize + single per-pair dot, as in lshTopK
     val v = base
     pairs
-      .join(v.select(col("id").as("id1"), col("vec").as("v1")), "id1")
-      .join(v.select(col("id").as("id2"), col("vec").as("v2")), "id2")
-      .select(col("id1"), col("id2"), cosine(col("v1"), col("v2")).as("sim"))
+      .join(v.select(col("id").as("id1"), normalize(col("vec")).as("v1")), "id1")
+      .join(v.select(col("id").as("id2"), normalize(col("vec")).as("v2")), "id2")
+      .select(col("id1"), col("id2"), dot(col("v1"), col("v2")).as("sim"))
       .where(col("sim") >= threshold)
   }
 }
