@@ -34,11 +34,11 @@ object Bench {
     val prIters = 5
 
     val spark = session(cpus)
-    // Round-5 protocol: each query executes TWICE. `first` pays one-time
-    // planning/codegen/JIT of that query's plan shapes; `steady` (the
-    // second execution, and the number of record in `queries`/`value`) is
-    // the repeat cost — the number that scales, and the one a resident
-    // engine pays per call. Rationale: the r4 CC/LP block fusion made
+    // Round-5 protocol: each query executes 1 + steadyReps times. `first`
+    // pays one-time planning/codegen/JIT of that query's plan shapes;
+    // `steady` (best of the cache-cleared re-executions, the number of
+    // record in `queries`/`value`) is the repeat cost — the number that
+    // scales, and the one a resident engine pays per call. Rationale: the r4 CC/LP block fusion made
     // steady-state the fastest ever while the committed first-execution
     // line moved the other way — a protocol that penalizes an optimization
     // for its own one-time codegen is broken evidence (VERDICT r4 #1).
@@ -72,7 +72,14 @@ object Bench {
           if (errFirst.isDefined) (tFirst, errFirst)
           else {
             val reps = (0 until steadyReps).map(_ => once())
-            (reps.map(_._1).min, reps.flatMap(_._2).headOption)
+            // min over SUCCESSFUL reps only: a fast-failing rep must never
+            // become the recorded steady timing (the "failures are error
+            // markers, never fast-looking numbers" invariant above). If
+            // every rep failed, keep the (slow) first-execution time and
+            // surface the error.
+            val ok = reps.filter(_._2.isEmpty)
+            if (ok.nonEmpty) (ok.map(_._1).min, reps.flatMap(_._2).headOption)
+            else (tFirst, reps.flatMap(_._2).headOption)
           }
         (name, tSteady, tFirst, errFirst.orElse(errSteady))
       }
@@ -174,7 +181,7 @@ object Bench {
       f""""variants":{"pagerank5_plain":$tPlain%.3f,"pagerank5_kahan":$tKahan%.3f,"salted_superstep":$tSalted%.3f}"""
     val total = results.map(_._2).sum + prSecs
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","protocol":"steady (second execution per query, cache-cleared; queries_first = first-execution incl one-time codegen)","queries":$qs,"queries_first":$qsFirst,"errors":$errs,$variants,"sf":"$sfDir","pagerank":{"edges":$edgesN,"supersteps":$prIters,"secs":$prSecs%.3f,"edges_per_sec":$edgesPerSec%.1f,"supersteps_per_hour":$superstepsPerHour%.1f}$scalingJson$pinnedJson$campaignJson}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","protocol":"steady = best of $steadyReps cache-cleared re-executions after the first; queries_first = first-execution incl one-time codegen","queries":$qs,"queries_first":$qsFirst,"errors":$errs,$variants,"sf":"$sfDir","pagerank":{"edges":$edgesN,"supersteps":$prIters,"secs":$prSecs%.3f,"edges_per_sec":$edgesPerSec%.1f,"supersteps_per_hour":$superstepsPerHour%.1f}$scalingJson$pinnedJson$campaignJson}"""
     println(line)
     // belt-and-braces: the same line to a file, so a log-scraping consumer
     // that misses the stdout line (sbt prefixes, trailing [success]) still

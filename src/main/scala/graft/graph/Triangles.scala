@@ -52,9 +52,26 @@ object Triangles {
       when(uFirst, col("dv")).otherwise(col("du")).as("dhi"))
   }
 
-  /** All triangles as rows (a, b, c) — each exactly once. */
+  /** All triangles as rows (a, b, c) — each exactly once.
+    *
+    * Cache lifecycle: this (and [[perVertex]]) caches the canonical and
+    * oriented edge frames, and must leave them alive for the caller's
+    * action on the returned LAZY frame — so the caller owns release. A
+    * resident engine running over many different edge frames should call
+    * [[uncache]] per frame when done (one InMemoryRelation pair per
+    * distinct edge plan accumulates otherwise). */
   def triangles(edges: DataFrame): DataFrame =
     trianglesCanonical(canonical(edges))
+
+  /** Release the cached canonical/oriented frames for `edges` (see the
+    * cache-lifecycle note on [[triangles]]). Safe to call whether or not
+    * they are cached — CacheManager keys on the analyzed plan, which is
+    * identical however the frame was re-derived. */
+  def uncache(edges: DataFrame): Unit = {
+    val canon = canonical(edges)
+    orientCanonical(canon).unpersist()
+    canon.unpersist()
+  }
 
   private def trianglesCanonical(canon0: DataFrame): DataFrame = {
     // cache() is idempotent (CacheManager keys on the plan), so a caller
@@ -90,6 +107,11 @@ object Triangles {
       .na.fill(0L, Seq("triangles"))
   }
 
-  /** Global triangle count. */
-  def globalCount(edges: DataFrame): Long = triangles(edges).count()
+  /** Global triangle count. Runs the action itself, so it releases its
+    * caches before returning. */
+  def globalCount(edges: DataFrame): Long = {
+    val n = triangles(edges).count()
+    uncache(edges)
+    n
+  }
 }

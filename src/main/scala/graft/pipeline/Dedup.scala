@@ -93,9 +93,21 @@ object Dedup {
           }
         val windows = (if (starts == null) n else starts.length) - kk + 1
         if (windows > 0) {
-          val cap = java.lang.Integer.highestOneBit(math.max(windows * 2 - 1, 4)) << 1
+          // dedup table capped at 2^22 slots (32 MB/task): `windows*2-1`
+          // would overflow Int past ~2^30 windows (gigabyte-scale single
+          // docs), and an unbounded table is an allocation hazard anyway.
+          // Past maxFill the set stops absorbing entries and later repeats
+          // are simply re-minimized — harmless for correctness (re-mixing
+          // an already-seen window hash cannot move any minimum) — while
+          // the probe loop stays terminating because the table never
+          // fills completely.
+          val cap =
+            if (windows >= (1 << 21)) 1 << 22
+            else java.lang.Integer.highestOneBit(math.max(windows * 2 - 1, 4)) << 1
           val mask = (cap - 1).toLong
           val seen = new Array[Long](cap)
+          val maxFill = cap - (cap >>> 2)
+          var filled = 0
           var hasZero = false
           var w = 0
           while (w < windows) {
@@ -112,7 +124,8 @@ object Dedup {
             else {
               var idx = (h & mask).toInt
               while (seen(idx) != 0L && seen(idx) != h) idx = (idx + 1) & mask.toInt
-              if (seen(idx) == h) fresh = false else seen(idx) = h
+              if (seen(idx) == h) fresh = false
+              else if (filled < maxFill) { seen(idx) = h; filled += 1 }
             }
             if (fresh) {
               var i = 0
@@ -348,7 +361,16 @@ object Dedup {
     * anchor — the oracle checks the contract, not the blocking. */
   def simhashCandidatesFp(withFp: DataFrame, maxHamming: Int,
       numBlocks: Int = 0): DataFrame = {
-    val nb = if (numBlocks > 0) numBlocks else math.min(64, maxHamming + 1)
+    // 64 one-bit blocks can only guarantee recall to 63 differing bits, so
+    // the complete-recall contract silently breaks at maxHamming >= 64
+    // (two complementary fingerprints agree on no block). Radius >= 64 is
+    // also meaningless for 64-bit fingerprints — every pair qualifies;
+    // fail loudly rather than return a silently incomplete candidate set.
+    require(maxHamming >= 0 && maxHamming <= 63,
+      s"simhash radius must be 0..63 for 64-bit fingerprints, got " +
+        s"$maxHamming (>= 64 would mean 'all pairs' — no blocking scheme " +
+        "can serve that; use a cross join deliberately if you mean it)")
+    val nb = if (numBlocks > 0) numBlocks else maxHamming + 1
     require(nb >= 1 && nb <= 64, s"simhash blocking needs 1..64 blocks, got $nb")
     val base = 64 / nb
     val rem = 64 % nb

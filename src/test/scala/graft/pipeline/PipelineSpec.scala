@@ -145,6 +145,57 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("simhash radius >= 64 fails loudly (no blocking scheme covers it)") {
+    val fps = Seq((1L, 0L), (2L, -1L)).toDF("id", "fp")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.simhashCandidatesFp(fps, maxHamming = 64)
+    }
+    assert(e.getMessage.contains("0..63"), e.getMessage)
+  }
+
+  test("minhash signature survives the capped dedup table (giant doc)") {
+    // > maxFill (3/4 of the clamped 2^22-slot table ≈ 3.1M) DISTINCT
+    // windows, so insertion stops mid-document and later windows are
+    // re-minimized without dedup — the signature must equal the
+    // shingle-set reference regardless (re-mixing a seen hash is a no-op
+    // for minima). Text is a base-26 counter: every 5-char window at a
+    // stride-5 boundary is distinct, and windows overlapping two counter
+    // cells repeat rarely; 3.4M windows total.
+    val k = 4
+    val cells = 680000
+    val sb = new java.lang.StringBuilder(cells * 5)
+    var i = 0
+    while (i < cells) {
+      var x = i; var j = 0
+      val cell = new Array[Char](5)
+      while (j < 5) { cell(4 - j) = ('a' + x % 26).toChar; x /= 26; j += 1 }
+      sb.append(cell); i += 1
+    }
+    val text = sb.toString
+    val df = Seq((1L, text)).toDF("id", "text")
+    val got = df.select(Dedup.minhashSignature($"text", 5, k))
+      .as[Seq[Long]].head()
+    // reference: minima over the DISTINCT window hashes, computed directly
+    val distinctHashes = new scala.collection.mutable.HashSet[Long]
+    var w = 0
+    while (w + 5 <= text.length) {
+      var h = 1125899906842597L
+      var j = w
+      while (j < w + 5) { h = h * 1000003L + text.charAt(j).toLong; j += 1 }
+      distinctHashes += graft.ingest.Pages.mix(h)
+      w += 1
+    }
+    val want = (0 until k).map { idx =>
+      var m = Long.MaxValue
+      distinctHashes.foreach { h =>
+        val hi = graft.ingest.Pages.mix(h ^ (idx.toLong * 0x9E3779B97F4A7C15L))
+        if (hi < m) m = hi
+      }
+      m
+    }
+    assert(got == want, "capped-table signature diverged from reference")
+  }
+
   test("signatures are deterministic across partitionings") {
     val s1 = docs.repartition(1)
       .select($"id", Dedup.simhash($"text")).as[(Long, Long)].collect().toMap
