@@ -89,7 +89,11 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame = {
     val pages = Pages.synthesize(spark, 2000, seed = 42L, partitions = 8)
     val (_, edges) = Graphs.buildGraph(pages)
-    PageRank.run(spark, edges, maxIters = 10).ranks
+    val ranks = PageRank.run(spark, edges, maxIters = 10).ranks
+    // ranks are localCheckpointed by the kernel, so the ingest caches can
+    // be released immediately (see Graphs.buildGraph's lifecycle note)
+    Graphs.releaseBuild(pages)
+    ranks
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

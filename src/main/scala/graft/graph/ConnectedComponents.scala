@@ -79,13 +79,15 @@ object ConnectedComponents {
     // A self-loop per vertex is unioned in BEFORE the layout: it feeds each
     // vertex its own component through the same aggregate that feeds it the
     // neighbors' (single-use state — see scaladoc), at +|V| rows on 2|E|.
-    // symBase is persisted for the setup only (vertices + the self-loop
-    // union both read it; without the persist the symmetrize distinct runs
-    // twice) and dropped once the CSR layout is materialized.
-    val symBase = symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
-    val vertices = symBase.select(col("src").as("vid")).distinct()
+    // The vertex universe comes from the RAW edge endpoints, NOT the
+    // symmetrized table: symmetrize drops self-loops, so a vertex whose
+    // only incident edges are self-loops would otherwise vanish from the
+    // output instead of appearing as its own singleton component
+    // (referee-pinned).
+    val vertices = edges.select(col("src").as("vid"))
+      .union(edges.select(col("dst").as("vid"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val sym = symBase
+    val sym = symmetrize(edges)
       .union(vertices.select(col("vid").as("src"), col("vid").as("dst")))
       .repartition(col("src"))
       .sortWithinPartitions("src", "dst")
@@ -143,7 +145,7 @@ object ConnectedComponents {
       labels = result
       step += block
     }
-    symBase.unpersist(); sym.unpersist(); vertices.unpersist()
+    sym.unpersist(); vertices.unpersist()
     labels
   }
 
@@ -212,8 +214,13 @@ object ConnectedComponents {
       e = newEdges
       iter += 1
     }
-    // star forest: every u points at its component min v; roots are their own
-    val vertices = symmetrize(edges).select(col("src").as("vid")).distinct()
+    // star forest: every u points at its component min v; roots are their
+    // own. The universe comes from raw endpoints — an endpoint-level
+    // distinct, strictly cheaper than the (src,dst)-pair distinct a
+    // re-symmetrize would shuffle, and it keeps self-loop-only vertices
+    // (singleton components) that symmetrize would drop.
+    val vertices = edges.select(col("src").as("vid"))
+      .union(edges.select(col("dst").as("vid"))).distinct()
     vertices.join(e.select(col("u").as("vid"), col("v").as("component")),
         Seq("vid"), "left")
       .groupBy("vid").agg(min(coalesce(col("component"), col("vid"))).as("component"))

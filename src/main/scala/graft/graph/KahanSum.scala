@@ -28,7 +28,10 @@ object KahanSum extends Aggregator[Double, (Double, Double), Double] {
     (t, (t - sum) - y)
   }
 
-  override def finish(b: (Double, Double)): Double = b._1
+  // the state represents sum - c (see merge), so the final compensation
+  // must be applied here too — returning b._1 alone would throw away one
+  // compensated term exactly at the output boundary
+  override def finish(b: (Double, Double)): Double = b._1 - b._2
   override def bufferEncoder: Encoder[(Double, Double)] =
     Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble)
   override def outputEncoder: Encoder[Double] = Encoders.scalaDouble

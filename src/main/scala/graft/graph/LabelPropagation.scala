@@ -65,13 +65,15 @@ object LabelPropagation {
     // votes — the state frame is consumed exactly once per superstep, so
     // lazy block fusion (stepsPerJob) never duplicates the chained subplan
     // (see [[ConnectedComponents.hashMin]]).
-    // symBase persisted for the setup only (vertices + the self-loop union
-    // both read it), dropped once the CSR layout is materialized
-    val symBase = ConnectedComponents.symmetrize(edges)
+    // The vertex universe comes from the RAW edge endpoints, not the
+    // symmetrized table: symmetrize drops self-loops, so a vertex whose
+    // only incident edges are self-loops would otherwise vanish from the
+    // output (it keeps its own label via the vote-weight-0 self-loop row).
+    val vertices = edges.select(col("src").as("vid"))
+      .union(edges.select(col("dst").as("vid"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val vertices = symBase.select(col("src").as("vid")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val sym = symBase.select(col("src"), col("dst"), lit(0).as("self"))
+    val sym = ConnectedComponents.symmetrize(edges)
+      .select(col("src"), col("dst"), lit(0).as("self"))
       .union(vertices.select(col("vid").as("src"), col("vid").as("dst"),
         lit(1).as("self")))
       .repartition(col("src"))
@@ -119,10 +121,13 @@ object LabelPropagation {
       while (i < block) { cur = superstep(cur); i += 1 }
       val next = cur.localCheckpoint(true) // truncate lineage per block
       val endStep = step + block - 1
-      // commit on the cadence (block-boundary granular) + forced final
+      // commit on the cadence (block-boundary granular) + forced final.
+      // `>=` matches hashMin's condition verbatim (both are equivalent to
+      // `==` here since endStep never exceeds the bound, but the two
+      // loops should not drift — review r5 #10)
       ckpt.foreach { t =>
         val endRel = endStep - startStep
-        if (endRel >= nextCommitRel || endStep == numIters - 1) {
+        if (endRel >= nextCommitRel || endStep >= numIters - 1) {
           TableIO.commit(next, t, endStep, Map.empty)
           nextCommitRel = (endRel / cadence + 1) * cadence
         }
@@ -131,7 +136,7 @@ object LabelPropagation {
       labels = next
       step += block
     }
-    symBase.unpersist(); sym.unpersist(); vertices.unpersist()
+    sym.unpersist(); vertices.unpersist()
     labels
   }
 }

@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -39,10 +39,12 @@ import graft.io.TableIO
   *    algorithm); only the driver-side bookkeeping is fused. Convergence
   *    is then checked every k steps (delta spans the block), the standard
   *    cadence trade for fixed-point iterations.
-  *  - optional explicit hub salting (`saltThreshold`): out-edges of
-  *    vertices with outDeg > threshold are pre-split into salted groups so
-  *    a single src block never exceeds the threshold (AQE's skew join does
-  *    not cover iterative self-joins well — SURVEY.md §4).
+  *  - explicit hub salting ([[saltedContribs]], composable with the loop):
+  *    contribution rows into a hot IN-degree dst are pre-split across
+  *    `numSalts` sub-keys by src-hash and pre-aggregated per (dst, salt)
+  *    before the global per-dst combine, so no single reduce key ever
+  *    receives a hub's full in-edge volume (AQE's skew join does not
+  *    cover iterative self-joins well — SURVEY.md §4).
   *  - `checkpointEvery = c` commits `(vid, rank)` + per-partition lineage
   *    + metrics (delta, dangling mass, superstep seconds) via [[TableIO]]
   *    every c supersteps (evaluated at block boundaries); [[run]] resumes
@@ -121,7 +123,6 @@ object PageRank {
       tol: Double = 1e-9,
       maxIters: Int = 50,
       checkpointTable: String = null,
-      saltThreshold: Int = 0,
       kahan: Boolean = false,
       stepsPerJob: Int = 1,
       checkpointEvery: Int = 1): Result = {
@@ -301,12 +302,20 @@ object PageRank {
   }
 
   /** Hub-salted variant of one contribution superstep, exposed for the
-    * skew-handling path: splits each hub src's out-edges into `numSalts`
-    * groups and pre-aggregates per (dst, salt) before the global combine.
+    * skew-handling path: splits each hot dst's IN-edges into `numSalts`
+    * groups keyed by src-hash and pre-aggregates per (dst, salt) before
+    * the global per-dst combine. The salt MUST vary across the rows of a
+    * fixed dst (hence hash(src), never hash(dst) — a salt that is a pure
+    * function of the group key puts every row of the hub in one sub-key
+    * and the two-stage defense degenerates to the plain groupBy).
     * Composable with [[run]]'s loop; used when the degree histogram shows
-    * outDeg skew beyond what map-side combine flattens. */
+    * in-degree skew beyond what map-side combine flattens. */
+  /** The salt sub-key for [[saltedContribs]] — a function of `src` so it
+    * varies across a fixed dst's in-edges (spec-asserted). */
+  def saltCol(numSalts: Int): Column = pmod(hash(col("src")), lit(numSalts))
+
   def saltedContribs(e: DataFrame, ranksWithDeg: DataFrame, numSalts: Int): DataFrame = {
-    val salted = e.withColumn("salt", pmod(hash(col("dst")), lit(numSalts)))
+    val salted = e.withColumn("salt", saltCol(numSalts))
     salted
       .join(ranksWithDeg.where(col("outDeg") > 0).withColumnRenamed("vid", "src"), "src")
       .groupBy(col("dst").as("vid"), col("salt"))

@@ -19,7 +19,13 @@ import org.apache.spark.sql.functions._
   */
 object Triangles {
 
-  /** Undirected distinct edges as (u < v) pairs. */
+  /** Undirected distinct edges as (u < v) pairs.
+    *
+    * Input contract: self-loops are ignored ENTIRELY — including for the
+    * [[perVertex]] vertex universe, which derives from this frame (a
+    * vertex whose only incident edges are self-loops does not appear;
+    * unlike CC/LP, where every endpoint is a component/label carrier, a
+    * loop-only vertex has no triangle semantics). */
   def canonical(edges: DataFrame): DataFrame =
     edges.select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))

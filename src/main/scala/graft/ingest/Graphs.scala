@@ -45,7 +45,15 @@ object Graphs {
     * the dictionary is reused (not recomputed) for both endpoints.
     */
   def buildGraph(pages: DataFrame): (DataFrame, DataFrame) = {
+    // The extraction UDF (html decode + regex over every page) is the
+    // dominant ingest cost, and it has TWO consumers: the vertex
+    // dictionary (encodeVertices' eager zipWithIndex job fills this
+    // cache) and the endpoint-encoding joins. Persist so it runs once,
+    // not once per consumer. Lifecycle: caller releases via
+    // [[releaseBuild]] once the returned edge table is materialized
+    // (cached by a kernel's prepare, or written out).
     val rawEdges = LinkExtract.linkEdges(pages)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val urls = pages.select(col("url"))
       .union(rawEdges.select(col("dst_url").as("url")))
     val vertices = encodeVertices(urls).cache()
@@ -60,15 +68,28 @@ object Graphs {
     (vertices, csrLayout(e1))
   }
 
-  /** CSR-blocked physical layout: range-partitioned by `src`, sorted
+  /** CSR-blocked physical layout: HASH-partitioned by `src`, sorted
     * `(src, dst)` within partitions — every kernel's `edges ⋈ state on src`
     * then becomes a co-partitioned join with sequential access per block
-    * (SURVEY.md §4 item 2). */
+    * (SURVEY.md §4 item 2). Hash, not range: it is the exact layout
+    * [[graft.graph.PageRank.prepare]] builds, so composing
+    * buildGraph |> prepare collapses to ONE edge exchange
+    * (CollapseRepartition) instead of paying a range shuffle every kernel
+    * immediately discards — and hash(src) is what the supersteps' state
+    * joins cluster on. */
   def csrLayout(edges: DataFrame, partitions: Int = 0): DataFrame = {
     val p = if (partitions > 0) partitions
             else edges.sparkSession.sessionState.conf.numShufflePartitions
-    edges.repartitionByRange(p, col("src")).sortWithinPartitions("src", "dst")
+    edges.repartition(p, col("src")).sortWithinPartitions("src", "dst")
   }
+
+  /** Release [[buildGraph]]'s internal caches for `pages` (the raw
+    * url-level edge frame; the returned `vertices` frame is the caller's
+    * to unpersist). Call after the returned edge table is materialized
+    * downstream. Safe whether or not anything is cached — CacheManager
+    * keys on the analyzed plan, identical however re-derived. */
+  def releaseBuild(pages: DataFrame): Unit =
+    LinkExtract.linkEdges(pages).unpersist()
 
   /** Out-degree per vertex (dangling vertices absent — handled by kernels). */
   def outDegrees(edges: DataFrame): DataFrame =

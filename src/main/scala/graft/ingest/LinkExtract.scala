@@ -54,9 +54,18 @@ object LinkExtract {
       val schemeEnd = noFrag.indexOf("://")
       if (schemeEnd < 0) noFrag
       else {
+        // authority ends at the first '/' OR '?' — a URL with a query but
+        // no path ("https://Host?Page=x") must not lowercase the
+        // case-sensitive query string
         val pathStart = {
-          val i = noFrag.indexOf('/', schemeEnd + 3)
-          if (i >= 0) i else noFrag.length
+          val slash = noFrag.indexOf('/', schemeEnd + 3)
+          val query = noFrag.indexOf('?', schemeEnd + 3)
+          (slash, query) match {
+            case (-1, -1) => noFrag.length
+            case (-1, q) => q
+            case (s, -1) => s
+            case (s, q) => math.min(s, q)
+          }
         }
         noFrag.substring(0, pathStart).toLowerCase + noFrag.substring(pathStart)
       }

@@ -112,7 +112,6 @@ object TableIO {
       parent: Option[Long],
       step: Long,
       metrics: Map[String, Double]): SnapshotMeta = {
-    val spark = df.sparkSession
     val fs = fsOf(table)
     // guard BEFORE touching the data dir: if this id is already committed, a
     // concurrent writer won the race — failing here keeps its snapshot's
@@ -122,15 +121,26 @@ object TableIO {
     val dir = dataDir(table, id)
     df.write.mode("overwrite").parquet(dir.toString)
 
-    // per-partition row counts = lineage metrics for skew diagnosis on resume
-    val back = spark.read.parquet(dir.toString)
-    val partRows = back
-      .groupBy(spark_partition_id().as("pid")).count()
-      .orderBy("pid").collect().map(_.getLong(1)).toSeq
+    // per-partition row counts = lineage metrics for skew diagnosis on
+    // resume, read from the parquet FOOTERS (exact per-file record
+    // counts): with checkpointEvery=1 a full read-back-and-count of every
+    // snapshot would roughly double checkpoint I/O on the iteration path,
+    // while footers are a metadata tail read per file. One file per
+    // write task, listed in name order — the same per-partition
+    // granularity the old spark_partition_id() scan produced.
+    val conf = fs.getConf
+    val partFiles = fs.listStatus(dir)
+      .filter(_.getPath.getName.startsWith("part-"))
+      .sortBy(_.getPath.getName)
+    val partRows = partFiles.toSeq.map { f =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+      try r.getRecordCount finally r.close()
+    }
     val rows = partRows.sum
 
     val meta = SnapshotMeta(table, id, parent, step, rows,
-      back.rdd.getNumPartitions, partRows, metrics)
+      partRows.length, partRows, metrics)
 
     fs.mkdirs(manifestDir(table))
     val tmp = new Path(manifestDir(table), s"manifest-$id.json.tmp")

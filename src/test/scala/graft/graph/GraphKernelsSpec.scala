@@ -36,6 +36,45 @@ class GraphKernelsSpec extends SparkSpec {
     }
   }
 
+  test("self-loop-only vertices survive as singleton components/labels") {
+    // (3,3)'s vertex 3 has no non-loop edge: it must appear in CC/LP
+    // output as its own singleton (previously the symmetrize-derived
+    // vertex universe silently dropped it)
+    val g = Seq((1L, 2L), (3L, 3L), (2L, 4L))
+    val want = Referee.components(g)
+    assert(want(3L) == 3L)
+    val hm = ConnectedComponents.hashMin(spark, edgeDF(g))
+      .as[(Long, Long)].collect().toMap
+    assert(hm == want, s"hashMin $hm")
+    val star = ConnectedComponents.smallStarLargeStar(spark, edgeDF(g))
+      .as[(Long, Long)].collect().toMap
+    assert(star == want, s"star $star")
+    val lp = LabelPropagation.run(spark, edgeDF(g), numIters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(lp.keySet == want.keySet, s"LP vertex set $lp")
+    assert(lp(3L) == 3L, s"LP self-loop vertex keeps own label: $lp")
+  }
+
+  test("hub salting spreads a hot dst's in-edges across salt sub-keys") {
+    // 1000-src -> one-dst star. The two-stage salted aggregate only helps
+    // if the hub's reduce volume splits across numSalts sub-keys, so the
+    // salt must VARY within a fixed dst (a function of src); a salt keyed
+    // on dst puts every row in one sub-key and degenerates to the plain
+    // groupBy — the defect this test pins.
+    val star = (1L to 1000L).map(s => (s, 0L)).toDF("src", "dst")
+    val subKeys = star.withColumn("salt", PageRank.saltCol(4))
+      .groupBy("dst", "salt").count().count()
+    assert(subKeys == 4L, s"expected the hub split across 4 sub-keys, got $subKeys")
+    // and the salted superstep still delivers the exact hub in-mass
+    val ranks = star.select(col("src").as("vid"))
+      .union(star.select(col("dst").as("vid"))).distinct()
+      .withColumn("rank", lit(1.0 / 1001))
+      .withColumn("outDeg", when(col("vid") === 0L, 0L).otherwise(1L))
+    val hubMass = PageRank.saltedContribs(star, ranks, 4)
+      .where(col("vid") === 0L).select("inMass").as[Double].head()
+    assert(math.abs(hubMass - 1000.0 / 1001) < 1e-9, s"hub in-mass $hubMass")
+  }
+
   test("hash-min CC matches BFS referee exactly") {
     fixtures.foreach { case (name, edges) =>
       val want = Referee.components(edges)

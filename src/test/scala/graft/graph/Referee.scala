@@ -37,7 +37,14 @@ object Referee {
     val adj = mutable.Map.empty[Long, mutable.Set[Long]]
     def link(a: Long, b: Long): Unit =
       adj.getOrElseUpdate(a, mutable.Set.empty) += b
-    edges.foreach { case (a, b) => if (a != b) { link(a, b); link(b, a) } }
+    edges.foreach { case (a, b) =>
+      // every endpoint is a vertex, but a self-loop adds no adjacency —
+      // a vertex whose only edges are self-loops is its own singleton
+      // component (matches the kernels' raw-endpoint vertex universe)
+      adj.getOrElseUpdate(a, mutable.Set.empty)
+      adj.getOrElseUpdate(b, mutable.Set.empty)
+      if (a != b) { link(a, b); link(b, a) }
+    }
     val vertices = adj.keys.toSeq.sorted
     val comp = mutable.Map.empty[Long, Long]
     vertices.foreach { v =>
@@ -60,9 +67,13 @@ object Referee {
   def labelProp(edges: Seq[(Long, Long)], numIters: Int): Map[Long, Long] = {
     val adj = mutable.Map.empty[Long, mutable.Set[Long]]
     edges.foreach { case (a, b) =>
+      // endpoints always count as vertices; self-loops add no adjacency
+      // (an isolated vertex keeps its own label — the counts.isEmpty arm)
+      adj.getOrElseUpdate(a, mutable.Set.empty)
+      adj.getOrElseUpdate(b, mutable.Set.empty)
       if (a != b) {
-        adj.getOrElseUpdate(a, mutable.Set.empty) += b
-        adj.getOrElseUpdate(b, mutable.Set.empty) += a
+        adj(a) += b
+        adj(b) += a
       }
     }
     val vertices = adj.keys.toSeq.sorted

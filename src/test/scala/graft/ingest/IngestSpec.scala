@@ -37,6 +37,18 @@ class IngestSpec extends SparkSpec {
       == Tidy.tidyTitle(raw))
   }
 
+  test("normalizeUrl lowercases only scheme+authority, never path or query") {
+    assert(LinkExtract.normalizeUrl("https://Site.Example/Path?Q=AbC#Frag")
+      == "https://site.example/Path?Q=AbC")
+    // query with NO path: the '?' ends the authority (previously the whole
+    // URL including the case-sensitive query was lowercased)
+    assert(LinkExtract.normalizeUrl("https://Site.Example?Page=Home&Token=AbC")
+      == "https://site.example?Page=Home&Token=AbC")
+    assert(LinkExtract.normalizeUrl("https://Site.Example") == "https://site.example")
+    assert(LinkExtract.normalizeUrl("  relative/Path#f  ") == "relative/Path")
+    assert(LinkExtract.normalizeUrl("") == "")
+  }
+
   test("synthesis is deterministic and partitioning-invariant") {
     def render(partitions: Int): Seq[String] =
       Pages.synthesize(spark, 500, 42L, partitions)
