@@ -37,6 +37,9 @@ object GraftSession {
       .builder()
       .master(master)
       .appName("graft")
+      // native-function SQL surface (graft_fingerprint64 & co); on a real
+      // cluster the same class goes on spark.sql.extensions
+      .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -87,11 +87,13 @@ object Similarity {
       .orderBy(desc("jump"), asc("p"), asc("nbr"))
   }
 
-  /** F5/F11 — cosine over dense double-array columns via higher-order
-    * functions (no UDF): dot(a,b) / (||a||·||b||). */
+  /** F5/F11 — cosine over dense double-array columns:
+    * dot(a,b) / (||a||·||b||), on the native codegen'd sequential-fold dot
+    * ([[graft.functions.DotProduct]] — bit-identical to the higher-order
+    * `aggregate(zip_with(...))` form it replaces, which was interpreted-only
+    * and allocated a zipped array per evaluated pair). */
   def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    val dot = graft.functions.GraftExpressions.dot _
     dot(a, b) / sqrt(dot(a, a) * dot(b, b))
   }
 }

@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL surface for the native expressions: registers
+  * `graft_fingerprint64(text)`, `graft_simhash64(array<string>)`,
+  * `graft_tokens(text)` and `graft_dot(array<double>, array<double>)` with
+  * the session's function registry, so `spark.sql` users get the same
+  * codegen'd kernels the Column API routes through.
+  *
+  * Deployment: `spark.sql.extensions=graft.functions.GraftExtensions` on a
+  * cluster (the standard extensions hook), or implicitly via
+  * [[graft.GraftSession]], whose builder wires these in for every engine
+  * session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.registrations.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  private def unary(name: String, usage: String, mk: Expression => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), info(name, usage), { args =>
+      require(args.length == 1, s"$name expects 1 argument, got ${args.length}")
+      mk(args.head)
+    })
+
+  /** The injectFunction payloads (shared by the extensions hook and tests). */
+  val registrations: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    unary("graft_fingerprint64",
+      "_FUNC_(text) - 64-bit polynomial rolling hash of the string's UTF-16 code units (null -> null)",
+      Fingerprint64(_)),
+    unary("graft_simhash64",
+      "_FUNC_(tokens) - 64-bit SimHash of an array<string> token column (null -> null)",
+      SimHash64(_)),
+    unary("graft_tokens",
+      "_FUNC_(text) - whitespace tokens (maximal runs of non-\\s characters)",
+      WhitespaceTokens(_)),
+    (FunctionIdentifier("graft_dot"),
+      info("graft_dot",
+        "_FUNC_(x, y) - sequential ascending-index dot product of two array<double> columns"),
+      { args =>
+        require(args.length == 2, s"graft_dot expects 2 arguments, got ${args.length}")
+        DotProduct(args.head, args(1))
+      })
+  )
+}

@@ -1,0 +1,167 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static scalar kernels behind the native Catalyst expressions in
+  * [[GraftExpressions]]. A top-level Scala object compiles to a mirror class
+  * with static forwarders, so generated Java (Janino) calls these directly —
+  * `graft.functions.HashKernels.polyHash(s)` — with no reflective dispatch.
+  *
+  * Every kernel is bit-identical to the scalar-UDF form it replaces
+  * (spec-asserted in FunctionsSpec, and pinned end-to-end by the driver's
+  * bit-exact DuckDB oracles: t_fingerprint, d_exact_dedup, d_simhash,
+  * e_lsh_top1).
+  */
+object HashKernels {
+
+  /** 64-bit polynomial rolling hash over the string's UTF-16 code units —
+    * `h = h * 1000003 + unit`, seed 1125899906842597 — decoded DIRECTLY from
+    * the UTF8String's UTF-8 bytes, so the hot path never allocates the
+    * `java.lang.String` the UDF form materialized per row.
+    *
+    * UTF-16 parity: a code point above the BMP contributes its two surrogate
+    * units in order, exactly as `String.charAt` iteration would. Any byte
+    * sequence Java's decoder would NOT round-trip verbatim (truncated or
+    * continuation-less sequences, overlong encodings, 3-byte-encoded
+    * surrogates, code points past U+10FFFF) falls back to
+    * `toString`-then-charAt, so the result matches the UDF semantics on
+    * malformed input too (Java strings always encode to valid UTF-8, so the
+    * fallback is cold — it only fires for bytes that arrived from an
+    * external source already malformed). */
+  def polyHash(s: UTF8String): Long = {
+    val nb = s.numBytes()
+    var h = 1125899906842597L
+    var i = 0
+    while (i < nb) {
+      val b = s.getByte(i) & 0xFF
+      if (b < 0x80) {
+        h = h * 1000003L + b
+        i += 1
+      } else if ((b & 0xE0) == 0xC0) {
+        if (i + 1 >= nb || !cont(s, i + 1)) return fallbackHash(s)
+        val cp = ((b & 0x1F) << 6) | (s.getByte(i + 1) & 0x3F)
+        if (cp < 0x80) return fallbackHash(s) // overlong
+        h = h * 1000003L + cp
+        i += 2
+      } else if ((b & 0xF0) == 0xE0) {
+        if (i + 2 >= nb || !cont(s, i + 1) || !cont(s, i + 2)) return fallbackHash(s)
+        val cp = ((b & 0x0F) << 12) | ((s.getByte(i + 1) & 0x3F) << 6) |
+          (s.getByte(i + 2) & 0x3F)
+        // overlong, or a surrogate code point (invalid in UTF-8; Java's
+        // decoder replaces it, so charAt parity requires the fallback)
+        if (cp < 0x800 || (cp >= 0xD800 && cp <= 0xDFFF)) return fallbackHash(s)
+        h = h * 1000003L + cp
+        i += 3
+      } else if ((b & 0xF8) == 0xF0) {
+        if (i + 3 >= nb || !cont(s, i + 1) || !cont(s, i + 2) || !cont(s, i + 3))
+          return fallbackHash(s)
+        val cp = ((b & 0x07) << 18) | ((s.getByte(i + 1) & 0x3F) << 12) |
+          ((s.getByte(i + 2) & 0x3F) << 6) | (s.getByte(i + 3) & 0x3F)
+        if (cp < 0x10000 || cp > 0x10FFFF) return fallbackHash(s)
+        val u = cp - 0x10000
+        h = h * 1000003L + (0xD800 + (u >>> 10))
+        h = h * 1000003L + (0xDC00 + (u & 0x3FF))
+        i += 4
+      } else return fallbackHash(s) // stray continuation / invalid lead byte
+    }
+    h
+  }
+
+  @inline private def cont(s: UTF8String, i: Int): Boolean =
+    (s.getByte(i) & 0xC0) == 0x80
+
+  /** Reference semantics for byte sequences the fast decoder rejects: decode
+    * exactly as Java would (replacement chars and all), then charAt-hash. */
+  private def fallbackHash(s: UTF8String): Long = {
+    val str = s.toString
+    var h = 1125899906842597L
+    var i = 0
+    while (i < str.length) { h = h * 1000003L + str.charAt(i).toLong; i += 1 }
+    h
+  }
+
+  /** splitmix64 finalizer — delegates to the engine's single definition
+    * ([[graft.ingest.Pages.mix]]) so the two can never drift. */
+  @inline def mix(z: Long): Long = graft.ingest.Pages.mix(z)
+
+  /** 64-bit SimHash over a token array: per bit, vote +1/-1 by the bit of
+    * `mix(polyHash(token))`; fingerprint bit = (vote sum > 0). Bit-identical
+    * to Dedup.simhashUdf (null elements are skipped — the tokenizer never
+    * produces them). */
+  def simhash(toks: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = toks.numElements()
+    var t = 0
+    while (t < n) {
+      if (!toks.isNullAt(t)) {
+        val h = mix(polyHash(toks.getUTF8String(t)))
+        var bit = 0
+        while (bit < 64) {
+          if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+          bit += 1
+        }
+      }
+      t += 1
+    }
+    var fp = 0L
+    var bit = 0
+    while (bit < 64) { if (votes(bit) > 0) fp |= (1L << bit); bit += 1 }
+    fp
+  }
+
+  /** Whitespace tokenization, bit-identical to
+    * `filter(split(trim(text), "\\s+"), t => length(t) > 0)`: tokens are the
+    * maximal runs of characters outside Java-regex `\s` = `[ \t\n\x0B\f\r]`
+    * (exactly those six ASCII chars — NOT unicode whitespace: U+00A0/U+3000
+    * stay inside tokens, as the regex form keeps them). Byte-level scan is
+    * UTF-8-safe: all six separators are < 0x80 and UTF-8 continuation bytes
+    * are >= 0x80, so no multi-byte character can false-match. Each token is
+    * an offset view into the row's byte array (`UTF8String.fromBytes` with
+    * offset/len — no per-token copy); the regex form allocated a Pattern
+    * matcher, a String per token, and an interpreted higher-order filter
+    * pass on top. */
+  def whitespaceTokens(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    val out = new scala.collection.mutable.ArrayBuffer[Any](8)
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(bytes(i))) i += 1
+      val start = i
+      while (i < n && !isWs(bytes(i))) i += 1
+      if (i > start) out += UTF8String.fromBytes(bytes, start, i - start)
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  @inline private def isWs(b: Byte): Boolean =
+    b == 0x20 || b == 0x09 || b == 0x0A || b == 0x0B || b == 0x0C || b == 0x0D
+
+  /** True iff [[dot]] is defined: equal lengths, no null elements — the
+    * exact condition under which the `aggregate(zip_with(...))` form this
+    * replaces produces a non-null sum (zip_with pads the shorter side with
+    * nulls; any null product nulls the whole fold). */
+  def dotDefined(a: ArrayData, b: ArrayData): Boolean = {
+    val n = a.numElements()
+    if (b.numElements() != n) return false
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Sequential ascending-index dot product of two double arrays —
+    * `acc = acc + a(i)*b(i)`, the same left fold (same FP rounding) as the
+    * `aggregate(zip_with(...))` form and the oracles' prepend-0
+    * `list_reduce`. Call only when [[dotDefined]]. */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    acc
+  }
+}

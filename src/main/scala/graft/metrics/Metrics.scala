@@ -53,7 +53,7 @@ object Metrics {
     val total = s.map(x => x * x).sum // totalSumSims = S·S
     val sLit = array(s.map(lit): _*)
     val withSumSims = u.withColumn("sumSim",
-      aggregate(zip_with(col("u"), sLit, (a, b) => a * b), lit(0.0), (a, x) => a + x))
+      graft.functions.GraftExpressions.dot(col("u"), sLit))
     // v_c = Σ_{i∈c} u_i, per component; s_c = Σ sumSims_i
     val aggs = (0 until dims).map(k => sum(element_at(col("u"), k + 1)).as(s"v$k")) :+
       sum(col("sumSim")).as("sc")

@@ -19,10 +19,15 @@ object Ann {
     dot(a, b) / sqrt(dot(a, a) * dot(b, b))
 
   /** Sequential ascending-index dot-product fold (the fixed accumulation
-    * order every bit-exact oracle replays with a prepend-0 list_reduce). */
+    * order every bit-exact oracle replays with a prepend-0 list_reduce).
+    * Native codegen'd expression ([[graft.functions.DotProduct]]): the
+    * `aggregate(zip_with(...))` higher-order form it replaces is
+    * interpreted-only and allocated a zipped intermediate array per
+    * CANDIDATE PAIR — the dominant per-pair cost in [[lshTopK]] /
+    * [[cosineNearDups]] where pairs >> rows (bit-identical fold,
+    * spec-asserted). */
   def dot(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.GraftExpressions.dot(x, y)
 
   /** Normalize a float-vec column to a unit double array ONCE, so cosine
     * of any pair downstream is a single dot product (the reference-style

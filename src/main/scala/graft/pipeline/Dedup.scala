@@ -305,8 +305,9 @@ object Dedup {
   // ---- SimHash --------------------------------------------------------------
 
   /** 64-bit SimHash over tokens: per bit, vote +1/-1 by token-hash bit,
-    * fingerprint bit = sign of the vote sum. Computed as a scalar UDF (one
-    * pass over the token array, 64-int accumulator — no 64-column plan). */
+    * fingerprint bit = sign of the vote sum. Reference UDF form (one pass
+    * over the token array, 64-int accumulator — no 64-column plan); the
+    * operator path ([[simhash]]) runs the native codegen'd expression. */
   val simhashUdf = udf { (toks: Seq[String]) =>
     val votes = new Array[Int](64)
     if (toks != null) toks.foreach { t =>
@@ -327,7 +328,11 @@ object Dedup {
     fp
   }
 
-  def simhash(textCol: Column): Column = simhashUdf(TextAnalysis.tokens(textCol))
+  /** [[simhashUdf]] is the reference form (FunctionsSpec cross-checks it);
+    * the operator path runs the native codegen'd expression, which reads
+    * token ArrayData in place — no Seq[String] materialization per row. */
+  def simhash(textCol: Column): Column =
+    graft.functions.GraftExpressions.simhash64(TextAnalysis.tokens(textCol))
 
   /** SimHash near-dup pairs within `maxHamming` bits over `(id, text)`
     * docs — fingerprints computed here, then [[simhashCandidatesFp]]. */

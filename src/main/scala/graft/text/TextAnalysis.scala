@@ -8,14 +8,23 @@ import org.apache.spark.sql.functions._
   * and rolling-hash document fingerprinting.
   *
   * All of these are built from codegen'd `org.apache.spark.sql.functions`
-  * where possible; the only UDFs are the language-ID scorer and the rolling
-  * hash (tight scalar loops over the string, no per-row allocation beyond the
-  * token array).
+  * plus the native Catalyst expressions in [[graft.functions]] (tokenizer +
+  * fingerprint evaluate in place over UTF8String bytes inside whole-stage
+  * codegen); the only remaining UDF is the language-ID scorer (a tight
+  * per-token loop over the token array).
   */
 object TextAnalysis {
 
-  /** Whitespace tokenizer (split on runs of whitespace, drop empties). */
+  /** Whitespace tokenizer (split on runs of whitespace, drop empties).
+    * Routed through the native codegen'd expression
+    * ([[graft.functions.WhitespaceTokens]]); [[tokensHof]] is the
+    * reference regex/higher-order form it is spec-asserted bit-identical
+    * to (and the form every DuckDB oracle replays). */
   def tokens(text: Column): Column =
+    graft.functions.GraftExpressions.whitespaceTokens(text)
+
+  /** Reference form of [[tokens]], kept for the FunctionsSpec cross-check. */
+  private[graft] def tokensHof(text: Column): Column =
     filter(split(trim(text), "\\s+"), t => length(t) > 0)
 
   /** Token count, pure column expression (stays in whole-stage codegen). */
@@ -98,7 +107,12 @@ object TextAnalysis {
   /** 64-bit polynomial rolling-hash fingerprint of the whole document
     * (base 1000003, over UTF-16 code units). Deterministic, order-sensitive:
     * two documents share a fingerprint iff (modulo collisions) they are
-    * byte-identical — the exact-dedup key that avoids shuffling full text. */
+    * byte-identical — the exact-dedup key that avoids shuffling full text.
+    *
+    * Reference form, kept for the FunctionsSpec bit-identity cross-check;
+    * [[fingerprint]] routes through the native codegen'd expression
+    * ([[graft.functions.Fingerprint64]]), which hashes the UTF8String's
+    * bytes in place — no per-row String materialization, no UDF converter. */
   val fingerprintUdf = udf { (s: String) =>
     if (s == null) 0L
     else {
@@ -109,7 +123,8 @@ object TextAnalysis {
     }
   }
 
-  def fingerprint(text: Column): Column = fingerprintUdf(text)
+  def fingerprint(text: Column): Column =
+    graft.functions.GraftExpressions.fingerprint64(text)
 
   /** Character k-shingles of a document as an array column (distinct).
     * Guarded: Spark's `sequence(a,b)` is descending when a > b, so short

@@ -1,0 +1,189 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.pipeline.Dedup
+import graft.text.TextAnalysis
+
+/** Bit-identity of the native Catalyst expressions against the scalar-UDF /
+  * higher-order forms they replace, over adversarial inputs — plus the
+  * codegen assertion (the whole point of the expressions is staying inside
+  * whole-stage codegen with zero per-row allocation).
+  */
+class FunctionsSpec extends SparkSpec {
+
+  // Adversarial corpus: ASCII, BMP unicode, non-BMP (surrogate pairs in the
+  // Java string), lone surrogates (Java encodes them to '?' on the way into
+  // UTF8String — both paths must hash the round-tripped form), empties, long
+  // repetitive text, every power-of-two length boundary near the decoder's
+  // branch points.
+  private def adversarial: Seq[String] = {
+    val rnd = new scala.util.Random(42)
+    val basic = Seq(
+      "", " ", "a", "hello world", "the quick brown fox",
+      "héllo wörld ünïcode", "日本語のテキスト", "русский текст",
+      "emoji \ud83d\ude00\ud83e\udd16 mixed", "\ud83d\ude00",
+      "math 𝕊𝕡𝕒𝕣𝕜 letters", "tab\tnewline\nmixed",
+      "lone high \ud800 surrogate", "lone low \udc00 surrogate",
+      "\udc00\ud800 reversed pair", "ascii with ß and ñ",
+      "\u0000 nul char", "\u007f\u0080\u07ff\u0800\uffff boundaries")
+    val fuzz = (0 until 200).map { _ =>
+      val len = rnd.nextInt(50)
+      new String((0 until len).map { _ =>
+        rnd.nextInt(3) match {
+          case 0 => (rnd.nextInt(95) + 32).toChar // ASCII
+          case 1 => (rnd.nextInt(0x700) + 0x80).toChar // 2-byte UTF-8
+          case _ => (rnd.nextInt(0xF000) + 0x800).toChar // 3-byte (may hit surrogates)
+        }
+      }.toArray)
+    }
+    val pairs = (0 until 50).map { i =>
+      val cp = 0x10000 + rnd.nextInt(0xFFFF)
+      s"pre${new String(Character.toChars(cp))}post$i"
+    }
+    basic ++ fuzz ++ pairs
+  }
+
+  test("Fingerprint64 expression is bit-identical to the fingerprint UDF") {
+    val s = spark
+    import s.implicits._
+    // the UDF handles null explicitly (null -> 0L) and the native wrapper
+    // coalesces to 0L, so plain equality covers the null row too
+    val df = (adversarial :+ null).toDF("text")
+    val both = df.select(
+      TextAnalysis.fingerprintUdf(col("text")).as("udf"),
+      GraftExpressions.fingerprint64(col("text")).as("native"))
+    both.collect().foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), s"fingerprint mismatch on row $r")
+    }
+  }
+
+  test("SimHash64 expression is bit-identical to the simhash UDF") {
+    val s = spark
+    import s.implicits._
+    val df = (adversarial.filter(_ != null) :+ "").toDF("text")
+    val toks = TextAnalysis.tokens(col("text"))
+    val both = df.select(
+      Dedup.simhashUdf(toks).as("udf"),
+      GraftExpressions.simhash64(toks).as("native"))
+    both.collect().foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), s"simhash mismatch on $r")
+    }
+  }
+
+  test("WhitespaceTokens expression is bit-identical to the regex/HOF tokenizer") {
+    val s = spark
+    import s.implicits._
+    val ws = Seq(
+      "a b", "  leading", "trailing   ", "\ttab\tsep\t", "line\nbreak",
+      "verttab", "formfeed", "car\rreturn", "mixed \t\r\n all",
+      "nbsp stays", "ideographic　stays", "em space-stays",
+      "", "   ", "\t\n\r", "one", "a  b   c    d")
+    val df = (adversarial ++ ws :+ null).toDF("text")
+    val both = df.select(
+      TextAnalysis.tokensHof(col("text")).as("hof"),
+      TextAnalysis.tokens(col("text")).as("native"))
+    both.collect().foreach { r =>
+      val a = if (r.isNullAt(0)) null else r.getSeq[String](0)
+      val b = if (r.isNullAt(1)) null else r.getSeq[String](1)
+      assert(a == b, s"tokenizer mismatch: hof=$a native=$b")
+    }
+    // composes with lower() upstream and wordNgrams downstream unchanged
+    val ng = ws.toDF("text").select(
+      TextAnalysis.wordNgrams(col("text"), 2).as("native"))
+    assert(ng.count() == ws.length)
+  }
+
+  test("DotProduct expression matches the aggregate(zip_with) fold bit-for-bit") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 100).map { _ =>
+      val d = 1 + rnd.nextInt(96)
+      (Array.fill(d)(rnd.nextGaussian()), Array.fill(d)(rnd.nextGaussian()))
+    }
+    val df = vecs.toDF("x", "y")
+    val hof = aggregate(
+      zip_with(col("x"), col("y"), (p, q) => p * q), lit(0.0), (a, v) => a + v)
+    val rows = df.select(hof.as("hof"), GraftExpressions.dot(col("x"), col("y")).as("native"))
+      .collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)),
+        s"dot mismatch on $r")
+    }
+    // float inputs take the same element-widening path as zip_with's cast
+    val fdf = vecs.map { case (x, y) => (x.map(_.toFloat), y.map(_.toFloat)) }
+      .toDF("x", "y")
+    val fhof = aggregate(
+      zip_with(col("x"), col("y"),
+        (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (a, v) => a + v)
+    fdf.select(fhof.as("hof"), GraftExpressions.dot(col("x"), col("y")).as("native"))
+      .collect().foreach { r =>
+        assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+          java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
+      }
+    // null semantics: length mismatch and null arrays -> null (as zip_with)
+    val edge = Seq(
+      (Array(1.0, 2.0), Array(1.0)), // length mismatch
+      (null, Array(1.0)), (Array(1.0), null), (null, null))
+      .toDF("x", "y")
+    val e = edge.select(fhofLike(col("x"), col("y")).as("hof"),
+      GraftExpressions.dot(col("x"), col("y")).as("native")).collect()
+    e.foreach { r => assert(r.isNullAt(0) == r.isNullAt(1), s"null-shape mismatch $r") }
+    e.foreach { r => assert(r.isNullAt(1), s"expected null dot for $r") }
+  }
+
+  private def fhofLike(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+    aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (a, v) => a + v)
+
+  test("SQL surface: graft_* functions resolve via the extensions registry") {
+    // SharedSpark is built by GraftSession, which wires GraftExtensions in
+    val r = spark.sql(
+      """SELECT graft_fingerprint64('hello world') AS fp,
+        |       graft_simhash64(graft_tokens('hello world again')) AS sh,
+        |       graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+        |       size(graft_tokens('  a  b  ')) AS n""".stripMargin).head()
+    // cross-check against the Column API (same expressions, same kernels)
+    val s = spark
+    import s.implicits._
+    val viaCols = Seq(("hello world", "hello world again")).toDF("t1", "t2")
+      .select(GraftExpressions.fingerprint64(col("t1")).as("fp"),
+        GraftExpressions.simhash64(TextAnalysis.tokens(col("t2"))).as("sh"))
+      .head()
+    assert(r.getLong(0) == viaCols.getLong(0))
+    assert(r.getLong(1) == viaCols.getLong(1))
+    assert(r.getDouble(2) == 11.0)
+    assert(r.getInt(3) == 2)
+  }
+
+  test("native expressions run inside WholeStageCodegen (no ScalaUDF, no interpreted fallback)") {
+    // spark.range is a real codegen leaf — a literal local Dataset would be
+    // constant-folded into a LocalTableScan before any codegen happens
+    val base = spark.range(100)
+      .select(concat(lit("document text "), col("id")).as("text"))
+    val fp = base.select(col("text"),
+      GraftExpressions.fingerprint64(col("text")).as("fp"))
+    val fpPlan = fp.queryExecution.executedPlan.toString
+    assert(fpPlan.contains("graft_fingerprint64"), fpPlan)
+    assert(!fpPlan.contains("ScalaUDF"), s"expected no UDF in plan:\n$fpPlan")
+    // "*(n)" marks operators fused into a WholeStageCodegen stage; the
+    // project evaluating the expression must carry it
+    val projLine = fpPlan.linesIterator.find(_.contains("graft_fingerprint64")).get
+    assert(projLine.trim.startsWith("*("),
+      s"expression project not whole-stage-codegen'd:\n$fpPlan")
+    // simhash's INPUT is the tokenizer — a higher-order `filter`, which is
+    // CodegenFallback and keeps its project interpreted. The expression
+    // itself still evaluates natively over ArrayData (no UDF, no String
+    // materialization); assert the plan shape it actually gets.
+    val sh = base.select(
+      GraftExpressions.simhash64(TextAnalysis.tokens(col("text"))).as("sh"))
+    val shPlan = sh.queryExecution.executedPlan.toString
+    assert(shPlan.contains("graft_simhash64"), shPlan)
+    assert(!shPlan.contains("ScalaUDF"), s"expected no UDF in plan:\n$shPlan")
+    // force execution so a Janino compile error in doGenCode would surface
+    assert(fp.count() > 0 && sh.count() > 0)
+  }
+}
