@@ -295,6 +295,12 @@ object SparkEntry {
       val v = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
       Ann.lshTopK(v, k = 1).select(col("qid"), col("cid"))
     }),
+    "e_ivf_top1" -> ((s, dir) => { // oracled: deterministic smallest-id coarse
+      // quantizer — centroid normalization, assignment argmax, probe set and
+      // in-cell top-1 all replay as sequential list_reduce folds in SQL
+      val v = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Ann.ivfTopK(v, k = 1, nlist = 16, nprobe = 4).select(col("qid"), col("cid"))
+    }),
     "mm_features" -> ((s, dir) => { // oracled: the synthesized pixels/bytes are
       // pure splitmix functions of (id, x, y), PNG round-trips losslessly and
       // feature accumulation is integer-exact, so DuckDB replays the whole
@@ -932,6 +938,45 @@ object SparkEntry {
         |  SELECT DISTINCT a.id AS qid, b.id AS cid
         |  FROM sigs a JOIN sigs b
         |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id <> b.id),
+        |scored AS (
+        |  SELECT p.qid, p.cid,
+        |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(len(q.vn)),
+        |      j -> q.vn[j+1] * c.vn[j+1])), (a, b) -> a + b) AS sim
+        |  FROM cand p JOIN norms q ON p.qid = q.id JOIN norms c ON p.cid = c.id)
+        |SELECT qid, cid FROM (
+        |  SELECT qid, cid, row_number() OVER
+        |    (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rk FROM scored)
+        |WHERE rk = 1""".stripMargin,
+
+      // IVF ANN replayed exactly: centroids are the 16 smallest-id vectors
+      // normalized with the engine's ascending x² fold; assignment sims are
+      // (x/nrm)·cn sequential folds (Ann.ivfTopK's probeUdf does the division
+      // before the multiply, exactly the vn*cn product here); the corpus cell
+      // is the rank-1 centroid, probes are rank <= 4, and the in-cell top-1
+      // reuses the e_lsh_top1 normalize-once/dot-once scoring bit-for-bit
+      "e_ivf_top1" -> """
+        |WITH vecs AS MATERIALIZED (
+        |  SELECT vec_id AS id, embedding AS v FROM embeddings),
+        |norms AS MATERIALIZED (
+        |  SELECT id, list_transform(v, x -> x::DOUBLE / sqrt(
+        |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(len(v)),
+        |      j -> v[j+1]::DOUBLE * v[j+1]::DOUBLE)), (a, b) -> a + b))) AS vn
+        |  FROM vecs),
+        |cents AS MATERIALIZED (
+        |  SELECT id AS cent, vn AS cn FROM norms ORDER BY id LIMIT 16),
+        |assign AS MATERIALIZED (
+        |  SELECT n.id, c.cent,
+        |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(len(n.vn)),
+        |      j -> n.vn[j+1] * c.cn[j+1])), (a, b) -> a + b) AS sim
+        |  FROM norms n, cents c),
+        |ranked AS MATERIALIZED (
+        |  SELECT id, cent, row_number() OVER
+        |    (PARTITION BY id ORDER BY sim DESC, cent ASC) AS rk FROM assign),
+        |corpus AS (SELECT id AS cid, cent AS list FROM ranked WHERE rk = 1),
+        |probes AS (SELECT id AS qid, cent AS list FROM ranked WHERE rk <= 4),
+        |cand AS MATERIALIZED (
+        |  SELECT p.qid, c.cid FROM probes p JOIN corpus c ON p.list = c.list
+        |  WHERE p.qid <> c.cid),
         |scored AS (
         |  SELECT p.qid, p.cid,
         |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(len(q.vn)),

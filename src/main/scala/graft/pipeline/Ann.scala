@@ -201,6 +201,120 @@ object Ann {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) ANN — the coarse-quantizer scale path alongside
+    * [[lshTopK]]: partition the corpus into `nlist` Voronoi cells around a
+    * centroid set, search only the `nprobe` nearest cells per query.
+    *
+    * Centroid selection is deterministic — the `nlist` corpus vectors with
+    * the smallest ids, normalized with the engine's sequential fold — so
+    * the whole operator (assignment argmax, probe set, in-cell top-k)
+    * replays bit-for-bit in DuckDB SQL (oracle `e_ivf_top1`), the same
+    * verification contract as the splitmix hash families. A trained
+    * k-means quantizer would shift WHICH cells exist, not the operator
+    * shape; FAISS-style training on a sample is an orthogonal upgrade and
+    * deliberately out of scope for the oracled kernel.
+    *
+    * Shuffle discipline (identical to [[lshTopK]]): one id-keyed exchange
+    * of `(id, vec)` feeds the assignment branch and both vector re-attach
+    * joins; candidates are generated over bare `(id, list)` rows with the
+    * small centroid id as the only join key, so embeddings never enter a
+    * shuffle key and cross the wire exactly once. Each corpus vector lives
+    * in exactly one cell and probe lists are distinct, so a (qid, cid)
+    * pair arises at most once — no dedup pass. At 100 TB: `nlist` scales
+    * ~√N (centroids stay a driver-broadcast table), the cell join is an
+    * equi-join on an int, and `maxListSize` bounds a degenerate hot cell's
+    * quadratic blow-up exactly as `maxBucketSize` does for LSH buckets.
+    *
+    * Recall contract: a query's true neighbor is found iff it lives in one
+    * of the query's `nprobe` nearest cells — raise `nprobe` toward `nlist`
+    * to trade throughput for recall (nprobe = nlist is exhaustive and
+    * matches [[bruteForceTopK]]).
+    */
+  def ivfTopK(data: DataFrame, k: Int, nlist: Int = 16, nprobe: Int = 2,
+      maxListSize: Long = 0L, centroidCeiling: Long = 65536): DataFrame = {
+    require(nlist > 0 && nprobe > 0 && nprobe <= nlist,
+      s"ivfTopK: need 0 < nprobe <= nlist, got nlist=$nlist nprobe=$nprobe")
+    require(nlist <= centroidCeiling,
+      s"ivfTopK: nlist=$nlist exceeds the driver-broadcast ceiling " +
+        s"$centroidCeiling; a centroid table that large belongs in a join, " +
+        "not a broadcast (raise the ceiling only if the driver has the memory)")
+    val spark = data.sparkSession
+    val base = data.select(col("id"), col("vec")).repartition(col("id"))
+    // deterministic coarse quantizer: nlist smallest-id vectors, normalized
+    // driver-side with the exact ascending fold Ann.normalize uses, so the
+    // oracle's list_reduce replay agrees on every double bit
+    val centRows = base.orderBy(col("id")).limit(nlist).collect()
+    val centroids: Array[(Any, Array[Double])] = centRows.map { r =>
+      val raw = r.getSeq[Any](1).map {
+        case f: java.lang.Float => f.toDouble
+        case d: java.lang.Double => d.doubleValue
+        case n: Number => n.doubleValue
+      }.toArray
+      var acc = 0.0; var j = 0
+      while (j < raw.length) { acc += raw(j) * raw(j); j += 1 }
+      val nrm = math.sqrt(acc)
+      val vn = new Array[Double](raw.length)
+      j = 0
+      while (j < raw.length) { vn(j) = raw(j) / nrm; j += 1 }
+      (r.get(0), vn)
+    }
+    val bc = spark.sparkContext.broadcast(centroids)
+    val np = nprobe
+    def cmpIds(a: Any, b: Any): Int = a.asInstanceOf[Comparable[Any]].compareTo(b)
+    // one pass per row: normalize, dot against every centroid (ascending
+    // dim — the oracle's fold order), rank by (sim desc, centroid id asc),
+    // emit the nprobe nearest cell ids; element 0 is the row's own cell
+    val probeUdf = udf { (v: Seq[Double]) =>
+      val cents = bc.value
+      if (v == null || cents.isEmpty) Seq.empty[Long]
+      else {
+        val n = v.length
+        var acc = 0.0; var j = 0
+        while (j < n) { acc += v(j) * v(j); j += 1 }
+        val nrm = math.sqrt(acc)
+        val scored = new Array[(Any, Double)](cents.length)
+        var ci = 0
+        while (ci < cents.length) {
+          val cv = cents(ci)._2
+          var s = 0.0; var d = 0
+          val m = math.min(n, cv.length)
+          while (d < m) { s += (v(d) / nrm) * cv(d); d += 1 }
+          scored(ci) = (cents(ci)._1, s)
+          ci += 1
+        }
+        java.util.Arrays.sort(scored,
+          new java.util.Comparator[(Any, Double)] {
+            def compare(x: (Any, Double), y: (Any, Double)): Int = {
+              val bySim = java.lang.Double.compare(y._2, x._2)
+              if (bySim != 0) bySim else cmpIds(x._1, y._1)
+            }
+          })
+        (0 until math.min(np, scored.length))
+          .map(i => scored(i)._1.asInstanceOf[Number].longValue)
+      }
+    }
+    val probed = base.select(col("id"), probeUdf(col("vec")).as("probes"))
+    // corpus membership: exactly one cell per vector (probes[0]); query
+    // side explodes its probe list. Bare ids + a small long key only.
+    val corpusSide0 = probed.select(col("id").as("cid"),
+      element_at(col("probes"), 1).as("list"))
+    val corpusSide = capBuckets(corpusSide0, Seq("list"), maxListSize)
+    val querySide = probed.select(col("id").as("qid"),
+      explode(col("probes")).as("list"))
+    val pairs = querySide.join(corpusSide, "list")
+      .where(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"))
+    // vectors re-attach once per side off the shared id-keyed exchange;
+    // normalize above the join so each pair costs one dot fold (lshTopK)
+    val v = base
+    val scored = pairs
+      .join(v.select(col("id").as("qid"), normalize(col("vec")).as("qv")), "qid")
+      .join(v.select(col("id").as("cid"), normalize(col("vec")).as("cv")), "cid")
+      .select(col("qid"), col("cid"), dot(col("qv"), col("cv")).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Drop buckets larger than `maxBucketSize` via a left-anti against the
     * oversized key set (no-op when the cap is 0/negative — the exact path).
     * Declarative (no driver action), so the cap costs one aggregation. */

@@ -325,6 +325,78 @@ class AnnSpec extends SparkSpec {
     assert(!nd.exists { case (a, b) => a < 30L && b < 30L })
     assert(nd.contains((100L, 101L)))
   }
+
+  test("IVF top-1 finds cluster partners at nprobe < nlist") {
+    // centroids = ids 0..2 (smallest-id rule). Cells: cent0 = {0,4,5} (4,5
+    // are orthogonal to every centroid — all-zero sims tie-break to the
+    // lowest centroid id), cent1 = {1}, cent2 = {2,3}. nprobe = 2 reaches
+    // each id's true partner across the cell split.
+    val top1 = Ann.ivfTopK(vecs, k = 1, nlist = 3, nprobe = 2)
+      .select("qid", "cid").as[(Long, Long)].collect().toMap
+    assert(top1 == Map(0L -> 1L, 1L -> 0L, 2L -> 3L, 3L -> 2L,
+      4L -> 5L, 5L -> 4L), s"got $top1")
+  }
+
+  test("IVF with nprobe = nlist is exhaustive: equals brute force exactly") {
+    val ivf = Ann.ivfTopK(vecs, k = 2, nlist = 3, nprobe = 3)
+      .select("qid", "cid", "rank").as[(Long, Long, Int)].collect().toSet
+    val brute = Ann.bruteForceTopK(vecs, vecs, 2)
+      .select("qid", "cid", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(ivf == brute, s"ivf $ivf vs brute $brute")
+  }
+
+  test("IVF guardrails: bad nprobe and an over-ceiling nlist fail loudly") {
+    intercept[IllegalArgumentException] {
+      Ann.ivfTopK(vecs, k = 1, nlist = 2, nprobe = 3)
+    }
+    val ex = intercept[IllegalArgumentException] {
+      Ann.ivfTopK(vecs, k = 1, nlist = 10, nprobe = 1, centroidCeiling = 4)
+    }
+    assert(ex.getMessage.contains("ceiling"))
+  }
+
+  test("IVF cell join carries bare ids, not vectors; results are partitioning-invariant") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val df = Ann.ivfTopK(vecs, k = 1, nlist = 3, nprobe = 2)
+    val cellJoins = df.queryExecution.optimizedPlan.collect {
+      case j: Join if j.condition.exists(_.references.exists(
+        _.name.contains("list"))) => j
+    }
+    assert(cellJoins.nonEmpty, "expected the probe-cell equi-join")
+    cellJoins.foreach { j =>
+      j.children.foreach { c =>
+        assert(!c.output.exists(a => a.name == "vec" || a.name == "qv"
+            || a.name == "cv"),
+          s"vector column feeds the cell join: ${c.output.map(_.name)}")
+      }
+    }
+    val r1 = Ann.ivfTopK(vecs.repartition(1), k = 1, nlist = 3, nprobe = 2)
+      .select("qid", "cid").as[(Long, Long)].collect().toMap
+    val r7 = Ann.ivfTopK(vecs.repartition(7), k = 1, nlist = 3, nprobe = 2)
+      .select("qid", "cid").as[(Long, Long)].collect().toMap
+    assert(r1 == r7)
+  }
+
+  test("IVF hot-cell cap drops the degenerate cell, keeps small ones") {
+    // centroids = ids 0 (x-direction) and 1 (y-direction). The 30 identical
+    // x-direction vectors pile into cell 0 (31 members with id 0 itself);
+    // the y-direction pair {1, 100} forms a small legitimate cell.
+    // maxListSize = 10 drops the dense cell's quadratic pair set but keeps
+    // the small cell intact.
+    val dense = (10L until 40L).map(i => (i, Seq(1.0f, 0.0f, 0.0f, 0.0f)))
+    val seedsAndSmall = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (100L, Seq(0.0f, 0.9f, 0.1f, 0.0f)))
+    val data = (seedsAndSmall ++ dense).toDF("id", "vec")
+    val capped = Ann.ivfTopK(data, k = 5, nlist = 2, nprobe = 1,
+      maxListSize = 10).select("qid", "cid").as[(Long, Long)].collect()
+    assert(!capped.exists { case (q, c) =>
+        (q >= 10L && q < 40L) && (c >= 10L && c < 40L) },
+      s"dense-cell pairs must be dropped: ${capped.take(5).mkString(",")}")
+    assert(capped.contains((1L, 100L)) && capped.contains((100L, 1L)),
+      s"small cell must survive the cap: ${capped.mkString(",")}")
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
