@@ -52,6 +52,33 @@ object GraftExpressions {
   def whitespaceTokens(text: Column): Column =
     GraftSqlBridge.column(WhitespaceTokens(GraftSqlBridge.expression(text)))
 
+  /** `Column` wrapper: deterministic k-minhash signature over every distinct
+    * `shingleK`-code-point window of the text (see
+    * [[HashKernels.minhashSignature]]). Null text coalesces to `""` first —
+    * both yield the all-`Long.MaxValue` signature (no window reaches any
+    * minimum), matching the reference UDF's explicit null branch; the
+    * `shingleK >= 1` guard is what makes that equivalence hold. */
+  def minhashSignature(text: Column, shingleK: Int, numHashes: Int): Column = {
+    require(shingleK >= 1, s"minhash shingleK must be >= 1, got $shingleK")
+    require(numHashes >= 1, s"minhash numHashes must be >= 1, got $numHashes")
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    GraftSqlBridge.column(MinHashSig(
+      GraftSqlBridge.expression(coalesce(text, lit(""))), shingleK, numHashes))
+  }
+
+  /** `Column` wrapper: word n-grams of a token array. Null token array →
+    * EMPTY gram array (not null): the higher-order reference form computes
+    * `size(null) = -1` under non-ANSI semantics and falls into its
+    * empty-array branch, so null-in never propagated null-out — the
+    * coalesce preserves that contract bit-for-bit. */
+  def wordNgrams(toks: Column, n: Int, distinct: Boolean = false): Column = {
+    require(n >= 1, s"wordNgrams n must be >= 1, got $n")
+    import org.apache.spark.sql.functions.{array, coalesce}
+    GraftSqlBridge.column(WordNgrams(
+      GraftSqlBridge.expression(coalesce(toks, array().cast("array<string>"))),
+      n, distinct))
+  }
+
   /** `Column` wrapper: sequential dot product over two double arrays. The
     * cast to `array<double>` is a no-op for already-double inputs (removed
     * by SimplifyCasts) and the same per-element widening `zip_with`'s
@@ -118,6 +145,56 @@ case class SimHash64(child: Expression)
     defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.simhash($c)")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** Word n-grams of an `array<string>` token column — gram `i` joins tokens
+  * `i..i+n-1` with a single space; `distinct = true` fuses `array_distinct`
+  * (first-occurrence order) so duplicate gram strings are never built (see
+  * [[HashKernels.wordNgrams]]). Replaces an interpreted `transform`/
+  * `sequence`/`slice`/`concat_ws` higher-order chain on the hottest dedup
+  * path (n-gram Jaccard gram explosion). Null array in → null out at the
+  * expression level; the Column wrapper coalesces null to an empty array
+  * for parity with the HOF form's `size(null) = -1` empty branch. */
+case class WordNgrams(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_word_ngrams"
+
+  protected override def nullSafeEval(input: Any): Any =
+    HashKernels.wordNgrams(input.asInstanceOf[ArrayData], n, distinct)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashKernels.wordNgrams($c, $n, $distinct)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+    copy(child = newChild)
+}
+
+/** Deterministic k-minhash signature of a string — `numHashes` longs, the
+  * minima over every distinct `shingleK`-code-point window's remixed hash
+  * (see [[HashKernels.minhashSignature]]). The window loop runs per ROW over
+  * potentially megabytes of text, which is exactly where the ScalaUDF tax
+  * (converter + boxed `Seq[Long]` + megamorphic dispatch) compounds at
+  * 100 TB. Null in → null out; the Column wrapper coalesces null text to ""
+  * for the reference UDF's null contract. `shingleK`/`numHashes` are plan
+  * constants baked into the generated call site. */
+case class MinHashSig(child: Expression, shingleK: Int, numHashes: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+
+  protected override def nullSafeEval(input: Any): Any =
+    HashKernels.minhashSignature(input.asInstanceOf[UTF8String], shingleK, numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashKernels.minhashSignature($c, $shingleK, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
 }
 

@@ -6,9 +6,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** SQL surface for the native expressions: registers
   * `graft_fingerprint64(text)`, `graft_simhash64(array<string>)`,
-  * `graft_tokens(text)` and `graft_dot(array<double>, array<double>)` with
-  * the session's function registry, so `spark.sql` users get the same
-  * codegen'd kernels the Column API routes through.
+  * `graft_tokens(text)`, `graft_minhash(text, k, n)` and
+  * `graft_dot(array<double>, array<double>)` with the session's function
+  * registry, so `spark.sql` users get the same codegen'd kernels the Column
+  * API routes through.
   *
   * Deployment: `spark.sql.extensions=graft.functions.GraftExtensions` on a
   * cluster (the standard extensions hook), or implicitly via
@@ -45,6 +46,23 @@ object GraftExtensions {
     unary("graft_tokens",
       "_FUNC_(text) - whitespace tokens (maximal runs of non-\\s characters)",
       WhitespaceTokens(_)),
+    (FunctionIdentifier("graft_minhash"),
+      info("graft_minhash",
+        "_FUNC_(text, shingleK, numHashes) - k-minhash signature (array<bigint>) over distinct shingleK-codepoint windows; shingleK/numHashes must be integer literals"),
+      { args =>
+        require(args.length == 3,
+          s"graft_minhash expects 3 arguments, got ${args.length}")
+        def lit(e: Expression, name: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case _ => throw new IllegalArgumentException(
+            s"graft_minhash: $name must be an integer literal, got $e")
+        }
+        val k = lit(args(1), "shingleK")
+        val n = lit(args(2), "numHashes")
+        require(k >= 1 && n >= 1,
+          s"graft_minhash: shingleK/numHashes must be >= 1, got $k/$n")
+        MinHashSig(args.head, k, n)
+      }),
     (FunctionIdentifier("graft_dot"),
       info("graft_dot",
         "_FUNC_(x, y) - sequential ascending-index dot product of two array<double> columns"),

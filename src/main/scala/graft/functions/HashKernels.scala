@@ -138,6 +138,136 @@ object HashKernels {
   @inline private def isWs(b: Byte): Boolean =
     b == 0x20 || b == 0x09 || b == 0x0A || b == 0x0B || b == 0x0C || b == 0x0D
 
+  /** Deterministic k-minhash signature over every distinct `shingleK`-code-
+    * point window of the text — the static kernel behind
+    * [[graft.pipeline.Dedup.minhashSignature]]'s native expression form.
+    *
+    * Bit-identical to the windowed reference UDF
+    * ([[graft.pipeline.Dedup.minhashSignatureUdf]]), which is itself
+    * spec-pinned to the shingle-array form and to the driver's bit-exact
+    * `d_minhash_pairs` DuckDB oracle: each window is poly-hashed over its
+    * UTF-16 code units, splitmix-finalized, deduped through the same
+    * capped open-address table, and remixed into the k running minima.
+    * Windows advance by CODE POINT (SQL `substring` semantics): a
+    * surrogate-free fast path indexes `charAt` directly, and a
+    * start-offset table handles supplementary characters.
+    *
+    * What the native form saves per row vs the ScalaUDF: the
+    * catalyst→Scala converter, the boxed `Seq[Long]` return (k boxed
+    * Longs + a WrappedArray + the converter back), and the megamorphic
+    * `function.apply`; the result array goes out as an
+    * `UnsafeArrayData.fromPrimitiveArray` — one flat primitive buffer.
+    * The single `toString` per row remains: the window loop reads UTF-16
+    * units k times each across overlapping windows, so decoding once up
+    * front beats re-decoding UTF-8 bytes per window. */
+  def minhashSignature(s: UTF8String, shingleK: Int, numHashes: Int): ArrayData = {
+    val text = s.toString
+    val kk = shingleK
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    if (text.length >= kk) {
+      val n = text.length
+      var surrogate = false
+      var p = 0
+      while (p < n) {
+        val c = text.charAt(p)
+        if (c >= 0xD800 && c <= 0xDFFF) { surrogate = true; p = n }
+        p += 1
+      }
+      val starts: Array[Int] =
+        if (!surrogate) null
+        else {
+          val b = scala.collection.mutable.ArrayBuffer.empty[Int]
+          var i = 0
+          while (i < n) {
+            b += i
+            i += (if (Character.isHighSurrogate(text.charAt(i)) && i + 1 < n &&
+                      Character.isLowSurrogate(text.charAt(i + 1))) 2 else 1)
+          }
+          b.toArray
+        }
+      val windows = (if (starts == null) n else starts.length) - kk + 1
+      if (windows > 0) {
+        // same capped dedup table as the UDF form (see Dedup.scala for the
+        // overflow/termination analysis)
+        val cap =
+          if (windows >= (1 << 21)) 1 << 22
+          else java.lang.Integer.highestOneBit(math.max(windows * 2 - 1, 4)) << 1
+        val mask = (cap - 1).toLong
+        val seen = new Array[Long](cap)
+        val maxFill = cap - (cap >>> 2)
+        var filled = 0
+        var hasZero = false
+        var w = 0
+        while (w < windows) {
+          var h = 1125899906842597L
+          val from = if (starts == null) w else starts(w)
+          val until =
+            if (starts == null) w + kk
+            else if (w + kk < starts.length) starts(w + kk) else n
+          var j = from
+          while (j < until) { h = h * 1000003L + text.charAt(j).toLong; j += 1 }
+          h = mix(h)
+          var fresh = true
+          if (h == 0L) { fresh = !hasZero; hasZero = true }
+          else {
+            var idx = (h & mask).toInt
+            while (seen(idx) != 0L && seen(idx) != h) idx = (idx + 1) & mask.toInt
+            if (seen(idx) == h) fresh = false
+            else if (filled < maxFill) { seen(idx) = h; filled += 1 }
+          }
+          if (fresh) {
+            var i = 0
+            while (i < numHashes) {
+              val hi = mix(h ^ (i.toLong * 0x9E3779B97F4A7C15L))
+              if (hi < mins(i)) mins(i) = hi
+              i += 1
+            }
+          }
+          w += 1
+        }
+      }
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(mins)
+  }
+
+  /** Word n-grams over a token array: element `i` is tokens `i..i+n-1`
+    * joined by a single space — bit-identical to the
+    * `transform(sequence(...), i => concat_ws(" ", slice(toks, i+1, n)))`
+    * higher-order form it replaces (`concat_ws` skips null elements, so a
+    * null token contributes nothing but its neighbors still join; our
+    * tokenizer never produces nulls, this is type-surface parity only).
+    * `distinct = true` fuses `array_distinct` in: first-occurrence order,
+    * exactly as the built-in — but without materializing the duplicate
+    * gram strings first. The HOF form is interpreted-only
+    * (HigherOrderFunction never codegens) and allocates a lambda frame, a
+    * `sequence` array and a `slice` copy per gram; this kernel emits one
+    * `UTF8String.concatWs` per (distinct) gram and nothing else. */
+  def wordNgrams(toks: ArrayData, n: Int, distinct: Boolean): ArrayData = {
+    val sz = toks.numElements()
+    val m = sz - (n - 1)
+    if (m <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](0))
+    val space = UTF8String.fromString(" ")
+    val out = new scala.collection.mutable.ArrayBuffer[Any](m)
+    val seen: java.util.HashSet[UTF8String] =
+      if (distinct) new java.util.HashSet[UTF8String](m * 2) else null
+    val parts = new Array[UTF8String](n)
+    var i = 0
+    while (i < m) {
+      var j = 0
+      while (j < n) {
+        // concatWs skips nulls, matching concat_ws(" ", ...) semantics
+        parts(j) = if (toks.isNullAt(i + j)) null else toks.getUTF8String(i + j)
+        j += 1
+      }
+      val gram = UTF8String.concatWs(space, parts: _*)
+      if (seen == null || seen.add(gram)) out += gram
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
   /** True iff [[dot]] is defined: equal lengths, no null elements — the
     * exact condition under which the `aggregate(zip_with(...))` form this
     * replaces produces a non-null sum (zip_with pads the shorter side with

@@ -63,8 +63,14 @@ object Dedup {
     * window hash). This removes the dominant allocation cost of
     * `minhashCandidates` (one String + one array entry per window) and the
     * k remixes for every repeated window. Deterministic,
-    * partition-independent. */
-  def minhashSignature(textCol: Column, shingleK: Int, numHashes: Int): Column = {
+    * partition-independent.
+    *
+    * This is the REFERENCE form (FunctionsSpec cross-checks it); the
+    * operator path ([[minhashSignature]]) runs the native codegen'd
+    * expression, which skips the ScalaUDF's converters and boxed
+    * `Seq[Long]` return — same kernel, static-dispatched from generated
+    * code ([[graft.functions.HashKernels.minhashSignature]]). */
+  def minhashSignatureUdf(textCol: Column, shingleK: Int, numHashes: Int): Column = {
     val k = numHashes
     val kk = shingleK
     val sigUdf = udf { (text: String) =>
@@ -144,6 +150,14 @@ object Dedup {
     sigUdf(textCol)
   }
 
+  /** Operator-path minhash signature: the native codegen'd expression form
+    * of [[minhashSignatureUdf]] — bit-identical (spec-asserted over
+    * adversarial inputs incl. non-BMP and the capped-dedup-table giant-doc
+    * case, and pinned end-to-end by the bit-exact `d_minhash_pairs`
+    * oracle), with no per-row converter/boxing overhead. */
+  def minhashSignature(textCol: Column, shingleK: Int, numHashes: Int): Column =
+    graft.functions.GraftExpressions.minhashSignature(textCol, shingleK, numHashes)
+
   /** Candidate near-dup pairs via banded LSH: docs sharing any band bucket.
     * `(id1, id2)` with id1 < id2, distinct. The shuffle key is the (band,
     * bucket-hash) pair — tiny rows; text never shuffles.
@@ -219,7 +233,7 @@ object Dedup {
       n: Int = 3, minJaccard: Double = 0.0,
       candidates: Option[DataFrame] = None, maxGramDf: Long = 0L): DataFrame = {
     val grams0 = docs.select(col(idCol).as("id"),
-        explode(array_distinct(TextAnalysis.wordNgrams(col(textCol), n))).as("g"))
+        explode(TextAnalysis.distinctWordNgrams(col(textCol), n)).as("g"))
     val grams1 = candidates match {
       case Some(c) =>
         val ids = c.select(col("id1").as("id"))

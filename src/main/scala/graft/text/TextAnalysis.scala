@@ -136,14 +136,30 @@ object TextAnalysis {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Word n-grams as an array column (same descending-sequence guard).
+  /** Word n-grams as an array column. Routed through the native codegen'd
+    * expression ([[graft.functions.WordNgrams]]) — one `concatWs` per gram,
+    * no interpreted lambda frames; [[wordNgramsHof]] is the reference
+    * higher-order form it is spec-asserted bit-identical to. */
+  def wordNgrams(text: Column, n: Int): Column =
+    graft.functions.GraftExpressions.wordNgrams(tokens(text), n)
+
+  /** DISTINCT word n-grams (first-occurrence order, exactly
+    * `array_distinct(wordNgrams(...))`) with the dedup fused into the
+    * native kernel — duplicate gram strings are never materialized. This
+    * is the gram-explosion input of [[graft.pipeline.Dedup.ngramJaccard]],
+    * the hottest per-row loop of the n-gram dedup path. */
+  def distinctWordNgrams(text: Column, n: Int): Column =
+    graft.functions.GraftExpressions.wordNgrams(tokens(text), n, distinct = true)
+
+  /** Reference form of [[wordNgrams]], kept for the FunctionsSpec
+    * cross-check (same descending-sequence guard as [[shingles]]).
     *
     * The tokenization is bound ONCE per row as a lambda variable (the
     * 1-element-array `transform` trick): inlining `tokens(text)` into the
-    * inner lambda would re-run the regex split per n-gram element — O(T²)
-    * regex work per document, which dominated the whole ngram-Jaccard
+    * inner lambda would re-run the split per n-gram element — O(T²)
+    * work per document, which dominated the whole ngram-Jaccard
     * pipeline (7s of a 10s query just materializing grams at sf0.1). */
-  def wordNgrams(text: Column, n: Int): Column =
+  private[graft] def wordNgramsHof(text: Column, n: Int): Column =
     element_at(transform(array(tokens(text)), toks => {
       val m = size(toks) - (n - 1)
       when(m >= 1,

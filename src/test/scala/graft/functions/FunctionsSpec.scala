@@ -72,6 +72,27 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("MinHashSig expression is bit-identical to the windowed signature UDF") {
+    val s = spark
+    import s.implicits._
+    // adversarial already covers non-BMP pairs, lone surrogates and fuzz; a
+    // small-alphabet tail forces duplicate windows through the dedup table
+    val rnd = new scala.util.Random(13)
+    val dups = (0 until 30).map { _ =>
+      (0 until rnd.nextInt(80)).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    }
+    val df = (adversarial ++ dups :+ null).toDF("text")
+    for (kk <- Seq(3, 5); k <- Seq(4, 12)) {
+      val both = df.select(
+        Dedup.minhashSignatureUdf(col("text"), kk, k).as("udf"),
+        GraftExpressions.minhashSignature(col("text"), kk, k).as("native"))
+      both.collect().foreach { r =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+          s"minhash mismatch at kk=$kk k=$k on $r")
+      }
+    }
+  }
+
   test("WhitespaceTokens expression is bit-identical to the regex/HOF tokenizer") {
     val s = spark
     import s.implicits._
@@ -93,6 +114,27 @@ class FunctionsSpec extends SparkSpec {
     val ng = ws.toDF("text").select(
       TextAnalysis.wordNgrams(col("text"), 2).as("native"))
     assert(ng.count() == ws.length)
+  }
+
+  test("WordNgrams expression is bit-identical to the HOF chain, fused distinct to array_distinct") {
+    val s = spark
+    import s.implicits._
+    val ws = Seq(
+      "a b c d", "one", "", "   ", "a a a a a", "x y x y x y",
+      "tab\tand\nnewline seps", "trailing spaces   ", null.asInstanceOf[String])
+    val df = (adversarial ++ ws).toDF("text")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val both = df.select(
+        TextAnalysis.wordNgramsHof(col("text"), n).as("hof"),
+        TextAnalysis.wordNgrams(col("text"), n).as("native"),
+        array_distinct(TextAnalysis.wordNgramsHof(col("text"), n)).as("hofd"),
+        TextAnalysis.distinctWordNgrams(col("text"), n).as("natived"))
+      both.collect().foreach { r =>
+        def g(i: Int) = if (r.isNullAt(i)) null else r.getSeq[String](i)
+        assert(g(0) == g(1), s"ngram mismatch at n=$n: hof=${g(0)} native=${g(1)}")
+        assert(g(2) == g(3), s"distinct ngram mismatch at n=$n: ${g(2)} vs ${g(3)}")
+      }
+    }
   }
 
   test("DotProduct expression matches the aggregate(zip_with) fold bit-for-bit") {
@@ -145,7 +187,8 @@ class FunctionsSpec extends SparkSpec {
       """SELECT graft_fingerprint64('hello world') AS fp,
         |       graft_simhash64(graft_tokens('hello world again')) AS sh,
         |       graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
-        |       size(graft_tokens('  a  b  ')) AS n""".stripMargin).head()
+        |       size(graft_tokens('  a  b  ')) AS n,
+        |       graft_minhash('hello world', 5, 4) AS mh""".stripMargin).head()
     // cross-check against the Column API (same expressions, same kernels)
     val s = spark
     import s.implicits._
@@ -157,6 +200,14 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getLong(1) == viaCols.getLong(1))
     assert(r.getDouble(2) == 11.0)
     assert(r.getInt(3) == 2)
+    val mhCols = Seq("hello world").toDF("t")
+      .select(GraftExpressions.minhashSignature(col("t"), 5, 4).as("mh")).head()
+    assert(r.getSeq[Long](4) == mhCols.getSeq[Long](0))
+    // non-literal shingleK must fail loudly at resolution, not mis-plan
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_minhash('x', length('abcde'), 4)").collect()
+    }
+    assert(err.getMessage.contains("integer literal"), err.getMessage)
   }
 
   test("native expressions run inside WholeStageCodegen (no ScalaUDF, no interpreted fallback)") {
@@ -183,7 +234,16 @@ class FunctionsSpec extends SparkSpec {
     val shPlan = sh.queryExecution.executedPlan.toString
     assert(shPlan.contains("graft_simhash64"), shPlan)
     assert(!shPlan.contains("ScalaUDF"), s"expected no UDF in plan:\n$shPlan")
+    // minhash: string child, no HOF input — must fuse like fingerprint
+    val mh = base.select(
+      GraftExpressions.minhashSignature(col("text"), 5, 12).as("mh"))
+    val mhPlan = mh.queryExecution.executedPlan.toString
+    assert(mhPlan.contains("graft_minhash"), mhPlan)
+    assert(!mhPlan.contains("ScalaUDF"), s"expected no UDF in plan:\n$mhPlan")
+    val mhLine = mhPlan.linesIterator.find(_.contains("graft_minhash")).get
+    assert(mhLine.trim.startsWith("*("),
+      s"minhash project not whole-stage-codegen'd:\n$mhPlan")
     // force execution so a Janino compile error in doGenCode would surface
-    assert(fp.count() > 0 && sh.count() > 0)
+    assert(fp.count() > 0 && sh.count() > 0 && mh.count() > 0)
   }
 }
