@@ -5,8 +5,57 @@ package graft
   * line per rep so regressions can be bisected without a full Bench run.
   *
   * Usage: runMain graft.BenchOne <queryName> [queryName ...] [-reps N]
-  */
+  *        runMain graft.BenchOne -kernels [-reps N]
+  *
+  * `-kernels` runs the native-expression vs reference-form (UDF/HOF) A/B
+  * for the hot scalar kernels over the sf documents table, reps
+  * INTERLEAVED (native, reference, native, ...) in one session — so a
+  * multi-minute host phase hits both forms equally and the ratio is
+  * meaningful even when absolute timings wobble (this box's documented
+  * noise mode). Each form is forced through an aggregate that consumes
+  * the kernel output (`max(element_at(...))` / `sum(size(...))`), since
+  * a bare `select(...).count()` would let Catalyst prune the projection
+  * and time nothing. */
 object BenchOne {
+
+  private def kernelAb(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, reps: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.DataFrame
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    docs.persist().count() // pin input so scan cost drops out of the A/B
+    val pairs: Seq[(String, DataFrame)] = Seq(
+      "minhash_native" -> docs.select(
+        graft.functions.GraftExpressions.minhashSignature(col("text"), 5, 12).as("v"))
+        .agg(max(element_at(col("v"), 1))),
+      "minhash_udf" -> docs.select(
+        graft.pipeline.Dedup.minhashSignatureUdf(col("text"), 5, 12).as("v"))
+        .agg(max(element_at(col("v"), 1))),
+      "ngram3_distinct_native" -> docs.select(
+        graft.text.TextAnalysis.distinctWordNgrams(col("text"), 3).as("v"))
+        .agg(sum(size(col("v")))),
+      "ngram3_distinct_hof" -> docs.select(
+        array_distinct(graft.text.TextAnalysis.wordNgramsHof(col("text"), 3)).as("v"))
+        .agg(sum(size(col("v")))))
+    // one untimed warm pass per form (codegen/JIT), then interleaved reps
+    pairs.foreach(_._2.collect())
+    val times = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    (0 until reps).foreach { _ =>
+      pairs.foreach { case (name, df) =>
+        val t0 = System.nanoTime()
+        df.collect()
+        times(name) = times(name) :+ (System.nanoTime() - t0) / 1e9
+      }
+    }
+    pairs.foreach { case (name, _) =>
+      val secs = times(name)
+      println(f"""{"kernel":"$name","reps":${secs.map(s => f"$s%.3f").mkString("[", ",", "]")},"best":${secs.min}%.3f}""")
+    }
+    docs.unpersist()
+  }
+
   def main(args: Array[String]): Unit = {
     val reps = args.sliding(2).collectFirst {
       case Array("-reps", n) => n.toInt }.getOrElse(2)
@@ -15,6 +64,11 @@ object BenchOne {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.local(cpus, shufflePartitions = 32)
     spark.sparkContext.setLogLevel("ERROR")
+    if (names.headOption.contains("-kernels")) {
+      kernelAb(spark, sfDir, math.max(reps, 3))
+      spark.stop()
+      return
+    }
     names.foreach { name =>
       val fn = SparkEntry.queries.getOrElse(name,
         sys.error(s"unknown query $name"))
