@@ -79,6 +79,13 @@ object GraftExpressions {
       n, distinct))
   }
 
+  /** `Column` wrapper: unit-normalize a numeric array to a double array
+    * (see [[HashKernels.normalizeVec]]); same float-widening cast
+    * convention as [[dot]]. */
+  def normalize(vec: Column): Column =
+    GraftSqlBridge.column(NormalizeVec(
+      GraftSqlBridge.expression(vec.cast("array<double>"))))
+
   /** `Column` wrapper: sequential dot product over two double arrays. The
     * cast to `array<double>` is a no-op for already-double inputs (removed
     * by SimplifyCasts) and the same per-element widening `zip_with`'s
@@ -195,6 +202,30 @@ case class MinHashSig(child: Expression, shingleK: Int, numHashes: Int)
       s"graft.functions.HashKernels.minhashSignature($c, $shingleK, $numHashes)")
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** Unit-normalization of an `array<double>` column — ascending-index
+  * sum-of-squares fold, `sqrt`, per-element divide (see
+  * [[HashKernels.normalizeVec]]; bit-identical to the bind-once
+  * higher-order form, incl. its null-element and zero-vector edges). Runs
+  * once per ROW on every ANN path (brute-force, LSH, IVF, cosine
+  * near-dup), where the interpreted `transform(array(sqrt(agg)), ...)`
+  * chain was the last per-row higher-order evaluation in the engine.
+  * Null array in → null out (same as the HOF form). */
+case class NormalizeVec(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def prettyName: String = "graft_normalize"
+
+  protected override def nullSafeEval(input: Any): Any =
+    HashKernels.normalizeVec(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.normalizeVec($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeVec =
     copy(child = newChild)
 }
 

@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** SQL surface for the native expressions: registers
   * `graft_fingerprint64(text)`, `graft_simhash64(array<string>)`,
-  * `graft_tokens(text)`, `graft_minhash(text, k, n)` and
+  * `graft_tokens(text)`, `graft_minhash(text, k, n)`,
+  * `graft_word_ngrams(tokens, n, distinct)`, `graft_normalize(vec)` and
   * `graft_dot(array<double>, array<double>)` with the session's function
   * registry, so `spark.sql` users get the same codegen'd kernels the Column
   * API routes through.
@@ -46,6 +47,28 @@ object GraftExtensions {
     unary("graft_tokens",
       "_FUNC_(text) - whitespace tokens (maximal runs of non-\\s characters)",
       WhitespaceTokens(_)),
+    unary("graft_normalize",
+      "_FUNC_(vec) - unit-normalize an array<double> (ascending sum-of-squares fold, sqrt, per-element divide)",
+      NormalizeVec(_)),
+    (FunctionIdentifier("graft_word_ngrams"),
+      info("graft_word_ngrams",
+        "_FUNC_(tokens, n, distinct) - word n-grams of an array<string> (space-joined windows of n tokens); n must be an integer literal, distinct a boolean literal"),
+      { args =>
+        require(args.length == 3,
+          s"graft_word_ngrams expects 3 arguments, got ${args.length}")
+        val n = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case e => throw new IllegalArgumentException(
+            s"graft_word_ngrams: n must be an integer literal, got $e")
+        }
+        val d = args(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Boolean, _) => v
+          case e => throw new IllegalArgumentException(
+            s"graft_word_ngrams: distinct must be a boolean literal, got $e")
+        }
+        require(n >= 1, s"graft_word_ngrams: n must be >= 1, got $n")
+        WordNgrams(args.head, n, d)
+      }),
     (FunctionIdentifier("graft_minhash"),
       info("graft_minhash",
         "_FUNC_(text, shingleK, numHashes) - k-minhash signature (array<bigint>) over distinct shingleK-codepoint windows; shingleK/numHashes must be integer literals"),

@@ -268,6 +268,38 @@ object HashKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
 
+  /** Unit-normalize a double array: sum of squares by ascending index
+    * (same left fold as `aggregate(vec, 0.0, acc + x*x)`), `Math.sqrt`,
+    * divide each element — bit-identical to the bind-the-norm-once
+    * higher-order form in [[graft.pipeline.Ann]] on every non-degenerate
+    * input. Edge semantics: a vector containing ANY null element yields an
+    * array of nulls of the same length (the fold poisons to null, and
+    * `transform`'s per-element division by null nulls each slot — NOT the
+    * whole array), matching the HOF form. The ONE deliberate divergence:
+    * an all-zero vector yields IEEE NaNs here, where the HOF form under
+    * ANSI mode (the session default) throws DIVIDE_BY_ZERO — the native
+    * form is total, which is the behavior a 10^12-row pipeline wants from
+    * a row-level kernel (both behaviors spec-pinned). */
+  def normalizeVec(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i))
+        return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          new Array[Any](n)) // n null slots
+      i += 1
+    }
+    var acc = 0.0
+    i = 0
+    while (i < n) { val v = a.getDouble(i); acc += v * v; i += 1 }
+    val nrm = java.lang.Math.sqrt(acc)
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) { out(i) = a.getDouble(i) / nrm; i += 1 }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
   /** True iff [[dot]] is defined: equal lengths, no null elements — the
     * exact condition under which the `aggregate(zip_with(...))` form this
     * replaces produces a non-null sum (zip_with pads the shorter side with

@@ -32,8 +32,15 @@ object Ann {
   /** Normalize a float-vec column to a unit double array ONCE, so cosine
     * of any pair downstream is a single dot product (the reference-style
     * per-pair norm recomputation is O(3d) per pair and was the dominant
-    * cost of the brute-force scorer). */
-  def normalize(vec: Column): Column = {
+    * cost of the brute-force scorer). Native codegen'd expression
+    * ([[graft.functions.NormalizeVec]]); [[normalizeHof]] is the
+    * reference higher-order form it is spec-asserted bit-identical to. */
+  def normalize(vec: Column): Column =
+    graft.functions.GraftExpressions.normalize(vec)
+
+  /** Reference form of [[normalize]], kept for the FunctionsSpec
+    * cross-check. */
+  private[graft] def normalizeHof(vec: Column): Column = {
     val d = aggregate(vec, lit(0.0),
       (acc, x) => acc + x.cast("double") * x.cast("double"))
     // bind the norm ONCE per row as a lambda variable: capturing `d` inside

@@ -137,6 +137,55 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("NormalizeVec expression matches the bind-once HOF normalization bit-for-bit") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(19)
+    val vecs: Seq[Seq[java.lang.Float]] = (0 until 80).map { _ =>
+      Seq.fill(1 + rnd.nextInt(96))(java.lang.Float.valueOf(rnd.nextGaussian().toFloat))
+    } ++ Seq(
+      Seq[java.lang.Float](1.0f, null, 3.0f),                // null element -> null slots
+      Seq[java.lang.Float](),                                // empty
+      null.asInstanceOf[Seq[java.lang.Float]])               // null vec -> null
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, containsNull = true))))
+    val rowList = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    vecs.foreach(v => rowList.add(org.apache.spark.sql.Row(v)))
+    val df = spark.createDataFrame(rowList, schema)
+    val rows = df.select(
+      graft.pipeline.Ann.normalizeHof(col("vec")).as("hof"),
+      graft.pipeline.Ann.normalize(col("vec")).as("native")).collect()
+    rows.foreach { r =>
+      def g(i: Int): Seq[Any] = if (r.isNullAt(i)) null else r.getSeq[Any](i)
+      val (a, b) = (g(0), g(1))
+      if (a == null || b == null) assert(a == null && b == null, s"null-shape mismatch $r")
+      else {
+        assert(a.length == b.length, s"length mismatch $r")
+        a.zip(b).foreach {
+          case (null, y) => assert(y == null, s"null slot mismatch $r")
+          case (x: Double, y: Double) =>
+            assert(java.lang.Double.doubleToRawLongBits(x) ==
+              java.lang.Double.doubleToRawLongBits(y), s"value mismatch $x vs $y in $r")
+          case other => fail(s"unexpected slot shape $other in $r")
+        }
+      }
+    }
+    // the ONE documented divergence: the zero vector. Under ANSI (session
+    // default) the HOF form throws DIVIDE_BY_ZERO; the native kernel is
+    // total and yields IEEE NaNs.
+    val zeroRows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    zeroRows.add(org.apache.spark.sql.Row(Seq.fill(8)(java.lang.Float.valueOf(0.0f))))
+    val zdf = spark.createDataFrame(zeroRows, schema)
+    val nat = zdf.select(graft.pipeline.Ann.normalize(col("vec")).as("v"))
+      .head().getSeq[Double](0)
+    assert(nat.length == 8 && nat.forall(_.isNaN), s"expected NaNs, got $nat")
+    intercept[Exception] {
+      zdf.select(graft.pipeline.Ann.normalizeHof(col("vec")).as("v")).collect()
+    }
+  }
+
   test("DotProduct expression matches the aggregate(zip_with) fold bit-for-bit") {
     val s = spark
     import s.implicits._
