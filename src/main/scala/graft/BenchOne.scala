@@ -64,7 +64,11 @@ object BenchOne {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.local(cpus, shufflePartitions = 32)
     spark.sparkContext.setLogLevel("ERROR")
-    if (names.headOption.contains("-kernels")) {
+    if (args.contains("-kernels")) {
+      // -kernels is a mode, not a query: reject mixing so a typo'd
+      // invocation fails loudly instead of silently benchmarking nothing
+      require(names.forall(_ == "-kernels"),
+        s"-kernels cannot be combined with query names, got: ${names.mkString(" ")}")
       kernelAb(spark, sfDir, math.max(reps, 3))
       spark.stop()
       return

@@ -67,10 +67,11 @@ object GraftExpressions {
   }
 
   /** `Column` wrapper: word n-grams of a token array. Null token array →
-    * EMPTY gram array (not null): the higher-order reference form computes
-    * `size(null) = -1` under non-ANSI semantics and falls into its
-    * empty-array branch, so null-in never propagated null-out — the
-    * coalesce preserves that contract bit-for-bit. */
+    * EMPTY gram array (not null): in the higher-order reference form
+    * `size(null)` is null, the `when(m >= 1, ...)` predicate is therefore
+    * not true, and evaluation falls into the `otherwise` empty-array
+    * branch — so null-in never propagated null-out; the coalesce preserves
+    * that contract bit-for-bit. */
   def wordNgrams(toks: Column, n: Int, distinct: Boolean = false): Column = {
     require(n >= 1, s"wordNgrams n must be >= 1, got $n")
     import org.apache.spark.sql.functions.{array, coalesce}
@@ -208,8 +209,9 @@ case class MinHashSig(child: Expression, shingleK: Int, numHashes: Int)
 /** Unit-normalization of an `array<double>` column — ascending-index
   * sum-of-squares fold, `sqrt`, per-element divide (see
   * [[HashKernels.normalizeVec]]; bit-identical to the bind-once
-  * higher-order form, incl. its null-element and zero-vector edges). Runs
-  * once per ROW on every ANN path (brute-force, LSH, IVF, cosine
+  * higher-order form, incl. its null-element edge, and fail-loud on a
+  * non-empty zero vector exactly as the HOF form's ANSI division is).
+  * Runs once per ROW on every ANN path (brute-force, LSH, IVF, cosine
   * near-dup), where the interpreted `transform(array(sqrt(agg)), ...)`
   * chain was the last per-row higher-order evaluation in the engine.
   * Null array in → null out (same as the HOF form). */

@@ -28,6 +28,44 @@ object GraftExtensions {
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
+  // The SQL builders must apply the SAME edge handling as the Column
+  // wrappers in GraftExpressions — null-coalescing and float-widening
+  // casts — or the SQL surface silently diverges from the Column API
+  // exactly on the edges the wrappers exist for (null text, null token
+  // arrays, array<float> vectors). Built directly in catalyst terms here
+  // (a Column round-trip through the bridge does not survive analysis for
+  // function-builder args); the FunctionsSpec SQL-surface test pins the
+  // two surfaces' edge behavior together.
+  private def coalesceStr(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(e,
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(""),
+        org.apache.spark.sql.types.StringType)))
+
+  private def coalesceStrArray(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(e,
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array.empty[String],
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType, containsNull = false))))
+
+  private def castDoubleArray(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.expressions.Cast(e,
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType, containsNull = true))
+
+  private def intLit(fn: String, name: String, e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case _ => throw new IllegalArgumentException(
+      s"$fn: $name must be an integer literal, got $e")
+  }
+
+  private def boolLit(fn: String, name: String, e: Expression): Boolean = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Boolean, _) => v
+    case _ => throw new IllegalArgumentException(
+      s"$fn: $name must be a boolean literal, got $e")
+  }
+
   private def unary(name: String, usage: String, mk: Expression => Expression)
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier(name), info(name, usage), { args =>
@@ -48,26 +86,18 @@ object GraftExtensions {
       "_FUNC_(text) - whitespace tokens (maximal runs of non-\\s characters)",
       WhitespaceTokens(_)),
     unary("graft_normalize",
-      "_FUNC_(vec) - unit-normalize an array<double> (ascending sum-of-squares fold, sqrt, per-element divide)",
-      NormalizeVec(_)),
+      "_FUNC_(vec) - unit-normalize a numeric array to array<double> (ascending sum-of-squares fold, sqrt, per-element divide); fails on a non-empty zero vector",
+      e => NormalizeVec(castDoubleArray(e))),
     (FunctionIdentifier("graft_word_ngrams"),
       info("graft_word_ngrams",
         "_FUNC_(tokens, n, distinct) - word n-grams of an array<string> (space-joined windows of n tokens); n must be an integer literal, distinct a boolean literal"),
       { args =>
         require(args.length == 3,
           s"graft_word_ngrams expects 3 arguments, got ${args.length}")
-        val n = args(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case e => throw new IllegalArgumentException(
-            s"graft_word_ngrams: n must be an integer literal, got $e")
-        }
-        val d = args(2) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Boolean, _) => v
-          case e => throw new IllegalArgumentException(
-            s"graft_word_ngrams: distinct must be a boolean literal, got $e")
-        }
+        val n = intLit("graft_word_ngrams", "n", args(1))
         require(n >= 1, s"graft_word_ngrams: n must be >= 1, got $n")
-        WordNgrams(args.head, n, d)
+        WordNgrams(coalesceStrArray(args.head), n,
+          boolLit("graft_word_ngrams", "distinct", args(2)))
       }),
     (FunctionIdentifier("graft_minhash"),
       info("graft_minhash",
@@ -75,16 +105,11 @@ object GraftExtensions {
       { args =>
         require(args.length == 3,
           s"graft_minhash expects 3 arguments, got ${args.length}")
-        def lit(e: Expression, name: String): Int = e match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case _ => throw new IllegalArgumentException(
-            s"graft_minhash: $name must be an integer literal, got $e")
-        }
-        val k = lit(args(1), "shingleK")
-        val n = lit(args(2), "numHashes")
+        val k = intLit("graft_minhash", "shingleK", args(1))
+        val n = intLit("graft_minhash", "numHashes", args(2))
         require(k >= 1 && n >= 1,
           s"graft_minhash: shingleK/numHashes must be >= 1, got $k/$n")
-        MinHashSig(args.head, k, n)
+        MinHashSig(coalesceStr(args.head), k, n)
       }),
     (FunctionIdentifier("graft_dot"),
       info("graft_dot",

@@ -275,11 +275,15 @@ object HashKernels {
     * input. Edge semantics: a vector containing ANY null element yields an
     * array of nulls of the same length (the fold poisons to null, and
     * `transform`'s per-element division by null nulls each slot — NOT the
-    * whole array), matching the HOF form. The ONE deliberate divergence:
-    * an all-zero vector yields IEEE NaNs here, where the HOF form under
-    * ANSI mode (the session default) throws DIVIDE_BY_ZERO — the native
-    * form is total, which is the behavior a 10^12-row pipeline wants from
-    * a row-level kernel (both behaviors spec-pinned). */
+    * whole array), matching the HOF form; a NON-EMPTY all-zero vector
+    * fails loudly, matching the HOF form's ANSI DIVIDE_BY_ZERO (the
+    * session default). Fail-loud is load-bearing, not just parity: a
+    * silent IEEE-NaN result would be poison downstream, because Spark's
+    * SQL ordering ranks NaN GREATER than every double — an all-NaN unit
+    * vector would out-rank every real neighbor in the LSH/IVF top-k
+    * windows and pass every `sim >= threshold` filter, turning a single
+    * zero embedding into everyone's nearest neighbor. The remedy lives in
+    * the message: filter zero vectors out before normalization. */
   def normalizeVec(a: ArrayData): ArrayData = {
     val n = a.numElements()
     var i = 0
@@ -293,6 +297,11 @@ object HashKernels {
     i = 0
     while (i < n) { val v = a.getDouble(i); acc += v * v; i += 1 }
     val nrm = java.lang.Math.sqrt(acc)
+    if (nrm == 0.0 && n > 0)
+      throw new IllegalArgumentException(
+        "graft_normalize: zero vector has no direction (cosine undefined); " +
+          "filter zero vectors out before normalization, e.g. " +
+          "where(graft_dot(vec, vec) > 0)")
     val out = new Array[Double](n)
     i = 0
     while (i < n) { out(i) = a.getDouble(i) / nrm; i += 1 }

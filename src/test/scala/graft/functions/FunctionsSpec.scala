@@ -172,18 +172,24 @@ class FunctionsSpec extends SparkSpec {
         }
       }
     }
-    // the ONE documented divergence: the zero vector. Under ANSI (session
-    // default) the HOF form throws DIVIDE_BY_ZERO; the native kernel is
-    // total and yields IEEE NaNs.
+    // the zero-vector edge: BOTH forms fail loudly (HOF via ANSI
+    // DIVIDE_BY_ZERO, native via its own guard). Fail-loud matters: a
+    // silent NaN result would out-rank every real neighbor downstream
+    // (Spark's SQL ordering puts NaN above every double).
     val zeroRows = new java.util.ArrayList[org.apache.spark.sql.Row]()
     zeroRows.add(org.apache.spark.sql.Row(Seq.fill(8)(java.lang.Float.valueOf(0.0f))))
     val zdf = spark.createDataFrame(zeroRows, schema)
-    val nat = zdf.select(graft.pipeline.Ann.normalize(col("vec")).as("v"))
-      .head().getSeq[Double](0)
-    assert(nat.length == 8 && nat.forall(_.isNaN), s"expected NaNs, got $nat")
+    val natErr = intercept[Exception] {
+      zdf.select(graft.pipeline.Ann.normalize(col("vec")).as("v")).collect()
+    }
+    def rootMessages(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ++ rootMessages(t.getCause)
+    assert(rootMessages(natErr).exists(_.contains("zero vector")), natErr.toString)
     intercept[Exception] {
       zdf.select(graft.pipeline.Ann.normalizeHof(col("vec")).as("v")).collect()
     }
+    // the empty vector is NOT the zero-vector edge: no element divides, so
+    // both forms agree on an empty array (covered by the parity rows above)
   }
 
   test("DotProduct expression matches the aggregate(zip_with) fold bit-for-bit") {
@@ -257,6 +263,18 @@ class FunctionsSpec extends SparkSpec {
       spark.sql("SELECT graft_minhash('x', length('abcde'), 4)").collect()
     }
     assert(err.getMessage.contains("integer literal"), err.getMessage)
+    // the SQL surface routes through the SAME Column wrappers, so the
+    // wrappers' edge contracts hold for SQL users too: null text -> the
+    // all-Long.MaxValue signature (not null), null token array -> empty
+    // gram array (not null), float vectors widen like the Column API
+    val edge = spark.sql(
+      """SELECT graft_minhash(CAST(NULL AS STRING), 5, 4) AS mh,
+        |       graft_word_ngrams(CAST(NULL AS ARRAY<STRING>), 2, true) AS ng,
+        |       graft_normalize(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS nv
+        |""".stripMargin).head()
+    assert(edge.getSeq[Long](0) == Seq.fill(4)(Long.MaxValue), edge.toString)
+    assert(edge.getSeq[String](1) == Seq.empty, edge.toString)
+    assert(edge.getSeq[Double](2) == Seq(0.6, 0.8), edge.toString)
   }
 
   test("native expressions run inside WholeStageCodegen (no ScalaUDF, no interpreted fallback)") {
