@@ -5,7 +5,7 @@ package graft
   * line per rep so regressions can be bisected without a full Bench run.
   *
   * Usage: runMain graft.BenchOne <queryName> [queryName ...] [-reps N]
-  *        runMain graft.BenchOne -kernels [-reps N]
+  *        runMain graft.BenchOne -kernels [-reps N] [-scale K]
   *
   * `-kernels` runs the native-expression vs reference-form (UDF/HOF) A/B
   * for the hot scalar kernels over the sf documents table, reps
@@ -19,31 +19,54 @@ package graft
 object BenchOne {
 
   private def kernelAb(spark: org.apache.spark.sql.SparkSession,
-      sfDir: String, reps: Int): Unit = {
+      sfDir: String, reps: Int, scale: Int): Unit = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.DataFrame
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id"), col("text"))
+    // replicate the input `scale`x: at sf0.1 a single pass sits at the
+    // ~35-40 ms task-scheduling floor, which hides single-digit-ms kernel
+    // deltas entirely — the A/B needs per-pass work well above that floor
+    // to discriminate forms
+    def rep(df: DataFrame): DataFrame =
+      df.crossJoin(spark.range(scale.toLong).select(col("id").as("rep_i")))
+        .repartition(32)
+    val docs = rep(spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")))
     docs.persist().count() // pin input so scan cost drops out of the A/B
-    val pairs: Seq[(String, DataFrame)] = Seq(
-      "minhash_native" -> docs.select(
+    val vecs = rep(spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec")))
+    vecs.persist().count()
+    // Each entry is a THUNK building a FRESH plan per invocation. This is
+    // load-bearing: re-collecting the same DataFrame object reuses the
+    // aggregate's shuffle-map stage (the DAGScheduler sees the same
+    // lineage), and the map stage is where ALL the kernel work lives — a
+    // reused-object rep times only the final reduce (~50 ms) and reads as
+    // a 20x-too-fast kernel.
+    val pairs: Seq[(String, () => DataFrame)] = Seq(
+      "minhash_native" -> (() => docs.select(
         graft.functions.GraftExpressions.minhashSignature(col("text"), 5, 12).as("v"))
-        .agg(max(element_at(col("v"), 1))),
-      "minhash_udf" -> docs.select(
+        .agg(max(element_at(col("v"), 1)))),
+      "minhash_udf" -> (() => docs.select(
         graft.pipeline.Dedup.minhashSignatureUdf(col("text"), 5, 12).as("v"))
-        .agg(max(element_at(col("v"), 1))),
-      "ngram3_distinct_native" -> docs.select(
+        .agg(max(element_at(col("v"), 1)))),
+      "ngram3_distinct_native" -> (() => docs.select(
         graft.text.TextAnalysis.distinctWordNgrams(col("text"), 3).as("v"))
-        .agg(sum(size(col("v")))),
-      "ngram3_distinct_hof" -> docs.select(
+        .agg(sum(size(col("v"))))),
+      "ngram3_distinct_hof" -> (() => docs.select(
         array_distinct(graft.text.TextAnalysis.wordNgramsHof(col("text"), 3)).as("v"))
-        .agg(sum(size(col("v")))))
+        .agg(sum(size(col("v"))))),
+      "normalize_native" -> (() => vecs.select(
+        graft.pipeline.Ann.normalize(col("vec")).as("v"))
+        .agg(max(element_at(col("v"), 1)))),
+      "normalize_hof" -> (() => vecs.select(
+        graft.pipeline.Ann.normalizeHof(col("vec")).as("v"))
+        .agg(max(element_at(col("v"), 1)))))
     // one untimed warm pass per form (codegen/JIT), then interleaved reps
-    pairs.foreach(_._2.collect())
+    pairs.foreach(_._2().collect())
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
     (0 until reps).foreach { _ =>
-      pairs.foreach { case (name, df) =>
+      pairs.foreach { case (name, mk) =>
+        val df = mk()
         val t0 = System.nanoTime()
         df.collect()
         times(name) = times(name) :+ (System.nanoTime() - t0) / 1e9
@@ -53,7 +76,7 @@ object BenchOne {
       val secs = times(name)
       println(f"""{"kernel":"$name","reps":${secs.map(s => f"$s%.3f").mkString("[", ",", "]")},"best":${secs.min}%.3f}""")
     }
-    docs.unpersist()
+    docs.unpersist(); vecs.unpersist()
   }
 
   def main(args: Array[String]): Unit = {
@@ -67,9 +90,12 @@ object BenchOne {
     if (args.contains("-kernels")) {
       // -kernels is a mode, not a query: reject mixing so a typo'd
       // invocation fails loudly instead of silently benchmarking nothing
-      require(names.forall(_ == "-kernels"),
+      require(names.forall(f =>
+          f == "-kernels" || f == "-scale" || f.forall(_.isDigit)),
         s"-kernels cannot be combined with query names, got: ${names.mkString(" ")}")
-      kernelAb(spark, sfDir, math.max(reps, 3))
+      val scale = args.sliding(2).collectFirst {
+        case Array("-scale", k) => k.toInt }.getOrElse(8)
+      kernelAb(spark, sfDir, math.max(reps, 3), math.max(scale, 1))
       spark.stop()
       return
     }
