@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the engine's hottest scalar kernels —
@@ -78,6 +78,21 @@ object GraftExpressions {
     GraftSqlBridge.column(WordNgrams(
       GraftSqlBridge.expression(coalesce(toks, array().cast("array<string>"))),
       n, distinct))
+  }
+
+  /** `Column` wrapper: count of tokens that are stopwords of `lang`
+    * (occurrences, duplicates included). Null token array → null,
+    * matching the HOF chain's propagation. */
+  def stopHits(toks: Column, lang: String): Column =
+    GraftSqlBridge.column(StopHits(GraftSqlBridge.expression(toks), lang))
+
+  /** `Column` wrapper: heuristic language ID over a token array. Null
+    * token array → `"und"`, matching the reference UDF's null branch. */
+  def langId(toks: Column): Column = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    coalesce(
+      GraftSqlBridge.column(LangId(GraftSqlBridge.expression(toks))),
+      lit("und"))
   }
 
   /** `Column` wrapper: unit-normalize a numeric array to a double array
@@ -203,6 +218,54 @@ case class MinHashSig(child: Expression, shingleK: Int, numHashes: Int)
       s"graft.functions.HashKernels.minhashSignature($c, $shingleK, $numHashes)")
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** Stopword-hit count of an `array<string>` token column for one language
+  * (see [[HashKernels.stopHits]]) — replaces the interpreted
+  * `size(filter(transform(toks, lower), isin(...)))` higher-order chain on
+  * the per-document quality-scoring path: one pass, one static set probe
+  * per token, no lambda frames, no lowered-copy array. `lang` is a plan
+  * constant resolved to a set index at construction (unknown languages
+  * fail loudly here, not per row). Null array in → null out. */
+case class StopHits(child: Expression, lang: String)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(HashKernels.hasStops(lang),
+    s"no embedded stopword list for language '$lang'")
+  private val langIdx = HashKernels.langIndex(lang)
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_stophits"
+
+  protected override def nullSafeEval(input: Any): Any =
+    HashKernels.stopHits(input.asInstanceOf[ArrayData], langIdx)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashKernels.stopHits($c, $langIdx)")
+
+  override protected def withNewChildInternal(newChild: Expression): StopHits =
+    copy(child = newChild)
+}
+
+/** Heuristic language ID of an `array<string>` token column (see
+  * [[HashKernels.langId]]) — the native form of the reference scalar UDF:
+  * sorted-language strict argmax of stopword hits, `und` when nothing
+  * hits. Null array in → null out; the Column wrapper coalesces to
+  * `"und"` for the UDF's null contract. */
+case class LangId(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_langid"
+
+  protected override def nullSafeEval(input: Any): Any =
+    HashKernels.langId(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.langId($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): LangId =
     copy(child = newChild)
 }
 

@@ -85,6 +85,23 @@ object GraftExtensions {
     unary("graft_tokens",
       "_FUNC_(text) - whitespace tokens (maximal runs of non-\\s characters)",
       WhitespaceTokens(_)),
+    unary("graft_langid",
+      "_FUNC_(tokens) - heuristic language ID over an array<string> (stopword-hit argmax; 'und' when nothing hits)",
+      LangId(_)),
+    (FunctionIdentifier("graft_stophits"),
+      info("graft_stophits",
+        "_FUNC_(tokens, lang) - count of tokens that are stopwords of lang; lang must be a string literal with an embedded list"),
+      { args =>
+        require(args.length == 2,
+          s"graft_stophits expects 2 arguments, got ${args.length}")
+        val lang = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: org.apache.spark.unsafe.types.UTF8String, _) =>
+            v.toString
+          case e => throw new IllegalArgumentException(
+            s"graft_stophits: lang must be a string literal, got $e")
+        }
+        StopHits(args.head, lang)
+      }),
     unary("graft_normalize",
       "_FUNC_(vec) - unit-normalize a numeric array to array<double> (ascending sum-of-squares fold, sqrt, per-element divide); fails on a non-empty zero vector",
       e => NormalizeVec(castDoubleArray(e))),

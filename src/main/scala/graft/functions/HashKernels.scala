@@ -309,6 +309,89 @@ object HashKernels {
       .fromPrimitiveArray(out)
   }
 
+  /** Per-language stopword sets as UTF8String hash sets, built once from
+    * the canonical lists in [[graft.text.TextAnalysis.stops]] so the two
+    * can never drift. Keys sorted for the deterministic langId argmax
+    * order. */
+  private lazy val stopSets: Array[(String, java.util.HashSet[UTF8String])] =
+    graft.text.TextAnalysis.stops.toSeq.sortBy(_._1).map { case (lang, sw) =>
+      val s = new java.util.HashSet[UTF8String](sw.length * 2)
+      sw.foreach(w => s.add(UTF8String.fromString(w)))
+      (lang, s)
+    }.toArray
+
+  private lazy val stopLangIdx: Map[String, Int] =
+    stopSets.zipWithIndex.map { case ((lang, _), i) => (lang, i) }.toMap
+
+  /** True iff `lang` has an embedded stopword list (guards the
+    * [[graft.functions.StopHits]] constructor). */
+  def hasStops(lang: String): Boolean = stopLangIdx.contains(lang)
+
+  /** Count of tokens (occurrences, duplicates included) that are stopwords
+    * of `lang` — bit-identical to the
+    * `size(filter(transform(toks, lower), isin(stops)))` higher-order
+    * chain it replaces: per token, `UTF8String.toLowerCase` (the same
+    * lowercasing `lower()` applies) then set membership. Null tokens are
+    * skipped (isin is never true for null). */
+  def stopHits(toks: ArrayData, langIdx: Int): Int = {
+    val set = stopSets(langIdx)._2
+    val n = toks.numElements()
+    var hits = 0
+    var i = 0
+    while (i < n) {
+      if (!toks.isNullAt(i) &&
+          set.contains(toks.getUTF8String(i).toLowerCase)) hits += 1
+      i += 1
+    }
+    hits
+  }
+
+  /** Language index for [[stopHits]] codegen call sites. */
+  def langIndex(lang: String): Int = stopLangIdx(lang)
+
+  private lazy val langCodes: Array[UTF8String] =
+    stopSets.map { case (lang, _) => UTF8String.fromString(lang) }
+  private lazy val und = UTF8String.fromString("und")
+
+  /** Heuristic language ID over a token array — bit-identical to the
+    * reference UDF ([[graft.text.TextAnalysis.langIdUdf]]): per language
+    * in sorted-key order, count tokens (occurrences) in that language's
+    * stopword set; strict argmax (first language to EXCEED the best so
+    * far wins, ties keep the earlier), `und` if no token hits any list.
+    * Lowercasing parity: the UDF lowers via `String.toLowerCase`; this
+    * kernel uses `UTF8String.toLowerCase`, which agrees on every token
+    * that can possibly equal an ASCII-only stopword (both map A-Z to a-z;
+    * a token containing any non-ASCII char can never equal an ASCII
+    * stopword under either mapping, because neither maps a non-ASCII
+    * char INTO a-z... except via multi-char expansions which change the
+    * length) — spec-asserted over adversarial unicode tokens. */
+  def langId(toks: ArrayData): UTF8String = {
+    val n = toks.numElements()
+    if (n == 0) return und
+    // one lowercase pass, then per-language counting over the lowered forms
+    val lowered = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      lowered(i) = if (toks.isNullAt(i)) null else toks.getUTF8String(i).toLowerCase
+      i += 1
+    }
+    var best = und
+    var bestHits = 0
+    var l = 0
+    while (l < stopSets.length) {
+      val set = stopSets(l)._2
+      var hits = 0
+      i = 0
+      while (i < n) {
+        if (lowered(i) != null && set.contains(lowered(i))) hits += 1
+        i += 1
+      }
+      if (hits > bestHits) { best = langCodes(l); bestHits = hits }
+      l += 1
+    }
+    best
+  }
+
   /** True iff [[dot]] is defined: equal lengths, no null elements — the
     * exact condition under which the `aggregate(zip_with(...))` form this
     * replaces produces a non-null sum (zip_with pads the shorter side with

@@ -39,7 +39,7 @@ object TextAnalysis {
 
   // Tiny embedded stopword lists for the n-gram-free language heuristic.
   // Public knowledge (most frequent function words per language).
-  private val stops: Map[String, Seq[String]] = Map(
+  private[graft] val stops: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "was", "with", "a"),
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu", "den"),
     "fr" -> Seq("le", "la", "les", "et", "est", "pas", "une", "des", "que", "dans", "pour"),
@@ -64,7 +64,16 @@ object TextAnalysis {
     }
   }
 
-  def langId(text: Column): Column = langIdUdf(tokens(text))
+  def langId(text: Column): Column =
+    graft.functions.GraftExpressions.langId(tokens(text))
+
+  /** Reference form of the quality path's stopword counter, kept for the
+    * FunctionsSpec cross-check. */
+  private[graft] def stopHitsHof(toks: Column): Column = {
+    val enStops = stops("en")
+    val lowerToks = transform(toks, x => lower(x))
+    size(filter(lowerToks, x => x.isin(enStops: _*)))
+  }
 
   /** Quality scoring signals, all pure column expressions. Returns the input
     * frame with `n_tokens`, `mean_token_len`, `punct_ratio`, `upper_ratio`,
@@ -74,9 +83,10 @@ object TextAnalysis {
     val toks = tokens(t)
     val nTok = size(toks)
     val nChar = length(t)
-    val enStops = stops("en")
-    val lowerToks = transform(toks, x => lower(x))
-    val stopHits = size(filter(lowerToks, x => x.isin(enStops: _*)))
+    // native codegen'd counter ([[graft.functions.StopHits]]);
+    // [[stopHitsHof]] is the reference higher-order chain it is
+    // spec-asserted bit-identical to
+    val stopHits = graft.functions.GraftExpressions.stopHits(toks, "en")
     df.withColumn("n_tokens", nTok)
       .withColumn(
         "mean_token_len",

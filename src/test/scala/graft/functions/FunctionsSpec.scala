@@ -137,6 +137,38 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("StopHits and LangId expressions match their HOF/UDF reference forms") {
+    val s = spark
+    import s.implicits._
+    // language-shaped rows on top of the adversarial corpus: stopword-rich
+    // text per language, mixed case (lowercasing is part of the contract),
+    // unicode lookalikes, duplicates (occurrence counting, not distinct)
+    val langish = Seq(
+      "The cat and THE dog of it", "der Hund und die Katze ist",
+      "le chat et la vie est", "el perro y la casa es",
+      "THE THE the tHe", "und und und", "no stopwords here xyzzy",
+      "", "one", "Ünïcode ÏS weird", "İ THE İstanbul case")
+    val df = (adversarial ++ langish :+ null).toDF("text")
+    val toks = TextAnalysis.tokens(col("text"))
+    val rows = df.select(
+      TextAnalysis.stopHitsHof(toks).as("hofHits"),
+      GraftExpressions.stopHits(toks, "en").as("natHits"),
+      TextAnalysis.langIdUdf(toks).as("udfLang"),
+      GraftExpressions.langId(toks).as("natLang")).collect()
+    rows.foreach { r =>
+      val (a, b) = (if (r.isNullAt(0)) null else Int.box(r.getInt(0)),
+        if (r.isNullAt(1)) null else Int.box(r.getInt(1)))
+      assert(a == b, s"stopHits mismatch: $a vs $b in $r")
+      assert(r.getString(2) == r.getString(3),
+        s"langId mismatch: ${r.getString(2)} vs ${r.getString(3)} in $r")
+    }
+    // unknown language fails loudly at construction, not per row
+    val e = intercept[IllegalArgumentException] {
+      GraftExpressions.stopHits(col("text"), "tlh")
+    }
+    assert(e.getMessage.contains("tlh"), e.getMessage)
+  }
+
   test("NormalizeVec expression matches the bind-once HOF normalization bit-for-bit") {
     val s = spark
     import s.implicits._
