@@ -59,7 +59,22 @@ object BenchOne {
         .agg(max(element_at(col("v"), 1)))),
       "normalize_hof" -> (() => vecs.select(
         graft.pipeline.Ann.normalizeHof(col("vec")).as("v"))
-        .agg(max(element_at(col("v"), 1)))))
+        .agg(max(element_at(col("v"), 1)))),
+      "stophits_native" -> (() => docs.select(
+        graft.functions.GraftExpressions.stopHits(
+          graft.text.TextAnalysis.tokens(col("text")), "en").as("v"))
+        .agg(sum(col("v")))),
+      "stophits_hof" -> (() => docs.select(
+        graft.text.TextAnalysis.stopHitsHof(
+          graft.text.TextAnalysis.tokens(col("text"))).as("v"))
+        .agg(sum(col("v")))),
+      "langid_native" -> (() => docs.select(
+        graft.text.TextAnalysis.langId(col("text")).as("v"))
+        .agg(count(when(col("v") === "en", 1)))),
+      "langid_udf" -> (() => docs.select(
+        graft.text.TextAnalysis.langIdUdf(
+          graft.text.TextAnalysis.tokens(col("text"))).as("v"))
+        .agg(count(when(col("v") === "en", 1)))))
     // one untimed warm pass per form (codegen/JIT), then interleaved reps
     pairs.foreach(_._2().collect())
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
