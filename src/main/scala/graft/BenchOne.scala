@@ -105,8 +105,14 @@ object BenchOne {
     if (args.contains("-kernels")) {
       // -kernels is a mode, not a query: reject mixing so a typo'd
       // invocation fails loudly instead of silently benchmarking nothing
-      require(names.forall(f =>
-          f == "-kernels" || f == "-scale" || f.forall(_.isDigit)),
+      // a digit token is legal ONLY as the value right after -scale; an
+      // orphan number (forgotten flag) must fail, not silently run at the
+      // default scale
+      val legal = names.zipWithIndex.forall { case (f, i) =>
+        f == "-kernels" || f == "-scale" ||
+          (f.nonEmpty && f.forall(_.isDigit) && i > 0 && names(i - 1) == "-scale")
+      }
+      require(legal,
         s"-kernels cannot be combined with query names, got: ${names.mkString(" ")}")
       val scale = args.sliding(2).collectFirst {
         case Array("-scale", k) => k.toInt }.getOrElse(8)

@@ -86,8 +86,12 @@ object GraftExtensions {
       "_FUNC_(text) - whitespace tokens (maximal runs of non-\\s characters)",
       WhitespaceTokens(_)),
     unary("graft_langid",
-      "_FUNC_(tokens) - heuristic language ID over an array<string> (stopword-hit argmax; 'und' when nothing hits)",
-      LangId(_)),
+      "_FUNC_(tokens) - heuristic language ID over an array<string> (stopword-hit argmax; 'und' when nothing hits or tokens is null)",
+      // same null → 'und' coalesce as the Column wrapper (file invariant)
+      e => org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(LangId(e),
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString("und"),
+          org.apache.spark.sql.types.StringType)))),
     (FunctionIdentifier("graft_stophits"),
       info("graft_stophits",
         "_FUNC_(tokens, lang) - count of tokens that are stopwords of lang; lang must be a string literal with an embedded list"),

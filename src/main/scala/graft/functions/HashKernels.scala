@@ -353,18 +353,40 @@ object HashKernels {
     stopSets.map { case (lang, _) => UTF8String.fromString(lang) }
   private lazy val und = UTF8String.fromString("und")
 
+  /** Default-locale lowercase, bit-identical to `String.toLowerCase` (the
+    * langId UDF's lowering) on every input under every locale. Byte-wise
+    * fast path for ASCII tokens containing no `I`: for those, every
+    * locale's full mapping agrees with `c | 0x20` on A–Z (only `I` has a
+    * locale-sensitive single-char lowering among ASCII). Anything else —
+    * non-ASCII bytes or an `I` — takes the exact `String.toLowerCase`
+    * path the UDF takes. */
+  def udfLower(t: UTF8String): UTF8String = {
+    val nb = t.numBytes()
+    var i = 0
+    var asciiNoUpperI = true
+    while (i < nb && asciiNoUpperI) {
+      val b = t.getByte(i)
+      if ((b & 0x80) != 0 || b == 'I') asciiNoUpperI = false
+      i += 1
+    }
+    if (asciiNoUpperI) t.toLowerCase // ASCII fast path, locale-free here
+    else UTF8String.fromString(t.toString.toLowerCase)
+  }
+
   /** Heuristic language ID over a token array — bit-identical to the
     * reference UDF ([[graft.text.TextAnalysis.langIdUdf]]): per language
     * in sorted-key order, count tokens (occurrences) in that language's
     * stopword set; strict argmax (first language to EXCEED the best so
     * far wins, ties keep the earlier), `und` if no token hits any list.
-    * Lowercasing parity: the UDF lowers via `String.toLowerCase`; this
-    * kernel uses `UTF8String.toLowerCase`, which agrees on every token
-    * that can possibly equal an ASCII-only stopword (both map A-Z to a-z;
-    * a token containing any non-ASCII char can never equal an ASCII
-    * stopword under either mapping, because neither maps a non-ASCII
-    * char INTO a-z... except via multi-char expansions which change the
-    * length) — spec-asserted over adversarial unicode tokens. */
+    * Lowercasing parity UNDER EVERY JVM LOCALE: the UDF lowers via
+    * default-locale `String.toLowerCase`, so the kernel does too via
+    * [[udfLower]] — with a byte-wise fast path only for ASCII tokens
+    * without `I`, the one ASCII char whose default-locale lowering is
+    * locale-sensitive (Turkish/Azeri map `I` → dotless `ı`, out of
+    * a–z). `UTF8String.toLowerCase` would NOT be parity-safe here: its
+    * ASCII fast path is locale-independent, so on a tr/az-locale JVM it
+    * lowers the token `IS` to `is` (a stopword hit) while the UDF yields
+    * `ıs` (no hit). */
   def langId(toks: ArrayData): UTF8String = {
     val n = toks.numElements()
     if (n == 0) return und
@@ -372,7 +394,7 @@ object HashKernels {
     val lowered = new Array[UTF8String](n)
     var i = 0
     while (i < n) {
-      lowered(i) = if (toks.isNullAt(i)) null else toks.getUTF8String(i).toLowerCase
+      lowered(i) = if (toks.isNullAt(i)) null else udfLower(toks.getUTF8String(i))
       i += 1
     }
     var best = und

@@ -8,10 +8,11 @@ import org.apache.spark.sql.functions._
   * and rolling-hash document fingerprinting.
   *
   * All of these are built from codegen'd `org.apache.spark.sql.functions`
-  * plus the native Catalyst expressions in [[graft.functions]] (tokenizer +
-  * fingerprint evaluate in place over UTF8String bytes inside whole-stage
-  * codegen); the only remaining UDF is the language-ID scorer (a tight
-  * per-token loop over the token array).
+  * plus the native Catalyst expressions in [[graft.functions]] (tokenizer,
+  * fingerprint, word n-grams, stopword counting and language ID all
+  * evaluate in place over UTF8String/ArrayData inside whole-stage
+  * codegen); the `*Udf`/`*Hof` members here are reference forms kept for
+  * the FunctionsSpec bit-identity cross-checks, not operator paths.
   */
 object TextAnalysis {
 

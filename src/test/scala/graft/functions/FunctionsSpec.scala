@@ -302,11 +302,19 @@ class FunctionsSpec extends SparkSpec {
     val edge = spark.sql(
       """SELECT graft_minhash(CAST(NULL AS STRING), 5, 4) AS mh,
         |       graft_word_ngrams(CAST(NULL AS ARRAY<STRING>), 2, true) AS ng,
-        |       graft_normalize(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS nv
+        |       graft_normalize(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS nv,
+        |       graft_langid(CAST(NULL AS ARRAY<STRING>)) AS lidnull,
+        |       graft_langid(graft_tokens('the cat and the dog of it')) AS lid,
+        |       graft_stophits(CAST(NULL AS ARRAY<STRING>), 'en') AS shnull,
+        |       graft_stophits(graft_tokens('THE cat and the dog'), 'en') AS sh
         |""".stripMargin).head()
     assert(edge.getSeq[Long](0) == Seq.fill(4)(Long.MaxValue), edge.toString)
     assert(edge.getSeq[String](1) == Seq.empty, edge.toString)
     assert(edge.getSeq[Double](2) == Seq(0.6, 0.8), edge.toString)
+    assert(edge.getString(3) == "und", edge.toString)   // null -> 'und', as the Column API
+    assert(edge.getString(4) == "en", edge.toString)
+    assert(edge.isNullAt(5), edge.toString)             // null -> null, as the Column API
+    assert(edge.getInt(6) == 3, edge.toString)          // THE + and + the (occurrences)
   }
 
   test("native expressions run inside WholeStageCodegen (no ScalaUDF, no interpreted fallback)") {
