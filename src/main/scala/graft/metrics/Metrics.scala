@@ -29,15 +29,15 @@ object Metrics {
         .cast("int").as("cid"),
       col("nodeId").as("member"))
 
-  /** Normalize membership rows to unit vectors (cos = dot thereafter). */
-  def normalized(memberships: DataFrame): DataFrame = {
-    val norm = sqrt(aggregate(col("membership"), lit(0.0), (a, x) => a + x * x))
-    // bind the norm once per row (lambda variable), not per element: the
-    // captured-aggregate form re-ran the O(d) sum inside the scaling lambda
+  /** Normalize membership rows to unit vectors (cos = dot thereafter).
+    * Same ascending sum-of-squares fold + per-element divide as the
+    * bind-once higher-order form this replaced — the native codegen'd
+    * expression ([[graft.functions.NormalizeVec]], bit-identical,
+    * FunctionsSpec-pinned; the `array<double>` cast is a no-op here).
+    * Pinned end-to-end by the m_modularity / m_cpm oracles. */
+  def normalized(memberships: DataFrame): DataFrame =
     memberships.select(col("nodeId"),
-      element_at(transform(array(norm),
-        nrm => transform(col("membership"), x => x / nrm)), 1).as("u"))
-  }
+      graft.functions.GraftExpressions.normalize(col("membership")).as("u"))
 
   private def vecSum(df: DataFrame, vecCol: String, dims: Int): Seq[Double] = {
     val sums = (0 until dims).map(k => sum(element_at(col(vecCol), k + 1)).as(s"s$k"))
