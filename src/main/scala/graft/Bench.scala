@@ -15,8 +15,8 @@ object Bench {
   private val headline = Seq(
     "g_pagerank", "g_components", "g_labelprop", "g_triangles",
     "a_wordcount", "a_cooccurrence", "w_topk", "j_twohop",
-    "d_exact_dedup", "d_ngram_jaccard", "d_minhash_pairs", "e_ann_top1",
-    "e_ivf_top1", "f_tidytitle", "t_tokencount")
+    "d_exact_dedup", "d_ngram_jaccard", "d_minhash_pairs", "d_dup_clusters",
+    "e_ann_top1", "e_ivf_top1", "f_tidytitle", "t_tokencount")
 
   private def session(cores: Int): SparkSession = {
     val s = GraftSession.local(cores, shufflePartitions = 32)

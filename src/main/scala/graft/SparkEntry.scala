@@ -270,6 +270,11 @@ object SparkEntry {
     "d_minhash_pairs" -> ((s, dir) => // oracled: k-min hash family in int SQL
       Dedup.minhashCandidates(docs(s, dir), "doc_id", "text")
         .select(col("id1"), col("id2"))),
+    "d_dup_clusters" -> ((s, dir) => { // oracled: recursive closure of the pairs
+      val d = docs(s, dir)
+      Dedup.dupClusters(s, d, "doc_id",
+        Dedup.minhashCandidates(d, "doc_id", "text"))
+    }),
     "d_simhash" -> ((s, dir) => // oracled: bit votes in DuckDB int SQL
       Dedup.simhashCandidates(docs(s, dir), "doc_id", "text", maxHamming = 8)
         .select(col("id1"), col("id2"), col("hamming"))),
@@ -538,6 +543,81 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = {
+    val minhashPairsSql = """
+      |WITH pos AS (
+      |  SELECT doc_id, unnest(range(1, greatest(length(text)-4, 0)+1)) AS i, text
+      |  FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, substr(text, i::INT, 5) AS s FROM pos
+      |), ph AS (
+      |  SELECT doc_id, s,
+      |    list_reduce(
+      |      list_prepend(1125899906842597::HUGEINT,
+      |        list_filter(
+      |          list_transform(split(s, ''), c -> unicode(c)::HUGEINT),
+      |          x -> x >= 0)),  -- split('','') yields [''] -> unicode -1
+      |      (acc, x) -> CASE WHEN x < 65536
+      |        THEN (acc * 1000003 + x) % 18446744073709551616::HUGEINT
+      |        ELSE (((acc * 1000003 + (55232 + x // 1024))
+      |            % 18446744073709551616::HUGEINT) * 1000003
+      |          + (56320 + x % 1024)) % 18446744073709551616::HUGEINT END
+      |    ) AS h0
+      |  FROM sh
+      |), a1 AS (
+      |  SELECT doc_id, s, ((h0 + 11400714819323198485::HUGEINT)
+      |    % 18446744073709551616::HUGEINT)::UBIGINT AS x1 FROM ph
+      |), a2 AS (
+      |  SELECT doc_id, s, xor(x1, x1 >> 30)::HUGEINT AS y FROM a1
+      |), a3 AS (
+      |  SELECT doc_id, s, ((((y * 3210233709) % 4294967296::HUGEINT) * 4294967296::HUGEINT
+      |    + (y * 484763065) % 18446744073709551616::HUGEINT)
+      |    % 18446744073709551616::HUGEINT)::UBIGINT AS x2 FROM a2
+      |), a4 AS (
+      |  SELECT doc_id, s, xor(x2, x2 >> 27)::HUGEINT AS y FROM a3
+      |), a5 AS (
+      |  SELECT doc_id, s, ((((y * 2496678331) % 4294967296::HUGEINT) * 4294967296::HUGEINT
+      |    + (y * 321982955) % 18446744073709551616::HUGEINT)
+      |    % 18446744073709551616::HUGEINT)::UBIGINT AS x3 FROM a4
+      |), hs AS (
+      |  SELECT doc_id, xor(x3, x3 >> 31) AS h FROM a5
+      |), hi0 AS (
+      |  SELECT doc_id, i, xor(h, ((i::HUGEINT * 11400714819323198485::HUGEINT)
+      |    % 18446744073709551616::HUGEINT)::UBIGINT) AS z
+      |  FROM hs, (SELECT unnest(range(12)) AS i)
+      |), b1 AS (
+      |  SELECT doc_id, i, ((z::HUGEINT + 11400714819323198485::HUGEINT)
+      |    % 18446744073709551616::HUGEINT)::UBIGINT AS x1 FROM hi0
+      |), b2 AS (
+      |  SELECT doc_id, i, xor(x1, x1 >> 30)::HUGEINT AS y FROM b1
+      |), b3 AS (
+      |  SELECT doc_id, i, ((((y * 3210233709) % 4294967296::HUGEINT) * 4294967296::HUGEINT
+      |    + (y * 484763065) % 18446744073709551616::HUGEINT)
+      |    % 18446744073709551616::HUGEINT)::UBIGINT AS x2 FROM b2
+      |), b4 AS (
+      |  SELECT doc_id, i, xor(x2, x2 >> 27)::HUGEINT AS y FROM b3
+      |), b5 AS (
+      |  SELECT doc_id, i, ((((y * 2496678331) % 4294967296::HUGEINT) * 4294967296::HUGEINT
+      |    + (y * 321982955) % 18446744073709551616::HUGEINT)
+      |    % 18446744073709551616::HUGEINT)::UBIGINT AS x3 FROM b4
+      |), hv AS (
+      |  SELECT doc_id, i, xor(x3, x3 >> 31) AS u FROM b5
+      |), sig AS (
+      |  SELECT doc_id, i,
+      |    min(CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+      |      THEN u::HUGEINT - 18446744073709551616::HUGEINT
+      |      ELSE u::HUGEINT END AS BIGINT)) AS v
+      |  FROM hv GROUP BY doc_id, i
+      |), bandvec AS MATERIALIZED (
+      |  SELECT doc_id, i // 3 AS band,
+      |    max(CASE WHEN i % 3 = 0 THEN v END) AS v0,
+      |    max(CASE WHEN i % 3 = 1 THEN v END) AS v1,
+      |    max(CASE WHEN i % 3 = 2 THEN v END) AS v2
+      |  FROM sig GROUP BY doc_id, i // 3
+      |)
+      |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      |FROM bandvec a JOIN bandvec b
+      |  ON a.band = b.band AND a.v0 = b.v0 AND a.v1 = b.v1 AND a.v2 = b.v2
+      |  AND a.doc_id < b.doc_id""".stripMargin
     val edgesPRSql =
       """SELECT DISTINCT l_orderkey % 1000 AS src, l_partkey % 1000 AS dst
         |FROM lineitem WHERE l_orderkey % 1000 <> l_partkey % 1000""".stripMargin
@@ -1418,81 +1498,27 @@ object SparkEntry {
       // oracle joins bands BY VALUE — identical row sets modulo xxhash64
       // collisions between distinct band vectors (~1e-14 at this scale;
       // verified equal on the driver data)
-      "d_minhash_pairs" -> """
-        |WITH pos AS (
-        |  SELECT doc_id, unnest(range(1, greatest(length(text)-4, 0)+1)) AS i, text
-        |  FROM documents
-        |), sh AS (
-        |  SELECT DISTINCT doc_id, substr(text, i::INT, 5) AS s FROM pos
-        |), ph AS (
-        |  SELECT doc_id, s,
-        |    list_reduce(
-        |      list_prepend(1125899906842597::HUGEINT,
-        |        list_filter(
-        |          list_transform(split(s, ''), c -> unicode(c)::HUGEINT),
-        |          x -> x >= 0)),  -- split('','') yields [''] -> unicode -1
-        |      (acc, x) -> CASE WHEN x < 65536
-        |        THEN (acc * 1000003 + x) % 18446744073709551616::HUGEINT
-        |        ELSE (((acc * 1000003 + (55232 + x // 1024))
-        |            % 18446744073709551616::HUGEINT) * 1000003
-        |          + (56320 + x % 1024)) % 18446744073709551616::HUGEINT END
-        |    ) AS h0
-        |  FROM sh
-        |), a1 AS (
-        |  SELECT doc_id, s, ((h0 + 11400714819323198485::HUGEINT)
-        |    % 18446744073709551616::HUGEINT)::UBIGINT AS x1 FROM ph
-        |), a2 AS (
-        |  SELECT doc_id, s, xor(x1, x1 >> 30)::HUGEINT AS y FROM a1
-        |), a3 AS (
-        |  SELECT doc_id, s, ((((y * 3210233709) % 4294967296::HUGEINT) * 4294967296::HUGEINT
-        |    + (y * 484763065) % 18446744073709551616::HUGEINT)
-        |    % 18446744073709551616::HUGEINT)::UBIGINT AS x2 FROM a2
-        |), a4 AS (
-        |  SELECT doc_id, s, xor(x2, x2 >> 27)::HUGEINT AS y FROM a3
-        |), a5 AS (
-        |  SELECT doc_id, s, ((((y * 2496678331) % 4294967296::HUGEINT) * 4294967296::HUGEINT
-        |    + (y * 321982955) % 18446744073709551616::HUGEINT)
-        |    % 18446744073709551616::HUGEINT)::UBIGINT AS x3 FROM a4
-        |), hs AS (
-        |  SELECT doc_id, xor(x3, x3 >> 31) AS h FROM a5
-        |), hi0 AS (
-        |  SELECT doc_id, i, xor(h, ((i::HUGEINT * 11400714819323198485::HUGEINT)
-        |    % 18446744073709551616::HUGEINT)::UBIGINT) AS z
-        |  FROM hs, (SELECT unnest(range(12)) AS i)
-        |), b1 AS (
-        |  SELECT doc_id, i, ((z::HUGEINT + 11400714819323198485::HUGEINT)
-        |    % 18446744073709551616::HUGEINT)::UBIGINT AS x1 FROM hi0
-        |), b2 AS (
-        |  SELECT doc_id, i, xor(x1, x1 >> 30)::HUGEINT AS y FROM b1
-        |), b3 AS (
-        |  SELECT doc_id, i, ((((y * 3210233709) % 4294967296::HUGEINT) * 4294967296::HUGEINT
-        |    + (y * 484763065) % 18446744073709551616::HUGEINT)
-        |    % 18446744073709551616::HUGEINT)::UBIGINT AS x2 FROM b2
-        |), b4 AS (
-        |  SELECT doc_id, i, xor(x2, x2 >> 27)::HUGEINT AS y FROM b3
-        |), b5 AS (
-        |  SELECT doc_id, i, ((((y * 2496678331) % 4294967296::HUGEINT) * 4294967296::HUGEINT
-        |    + (y * 321982955) % 18446744073709551616::HUGEINT)
-        |    % 18446744073709551616::HUGEINT)::UBIGINT AS x3 FROM b4
-        |), hv AS (
-        |  SELECT doc_id, i, xor(x3, x3 >> 31) AS u FROM b5
-        |), sig AS (
-        |  SELECT doc_id, i,
-        |    min(CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
-        |      THEN u::HUGEINT - 18446744073709551616::HUGEINT
-        |      ELSE u::HUGEINT END AS BIGINT)) AS v
-        |  FROM hv GROUP BY doc_id, i
-        |), bandvec AS MATERIALIZED (
-        |  SELECT doc_id, i // 3 AS band,
-        |    max(CASE WHEN i % 3 = 0 THEN v END) AS v0,
-        |    max(CASE WHEN i % 3 = 1 THEN v END) AS v1,
-        |    max(CASE WHEN i % 3 = 2 THEN v END) AS v2
-        |  FROM sig GROUP BY doc_id, i // 3
+      "d_minhash_pairs" -> minhashPairsSql,
+
+      // near-dup clusters = transitive closure of the minhash candidate
+      // pairs (recursive min-label CTE — the same reach recurrence as the
+      // g_components oracle) + survivor = min member; docs in no pair
+      // (incl. the <5-char shingle-less ones the engine filters before
+      // signing) fall through the left anchor as singleton clusters
+      "d_dup_clusters" -> s"""
+        |WITH RECURSIVE pairs AS MATERIALIZED (
+        |${minhashPairsSql}
+        |), sym AS (
+        |  SELECT id1 AS a, id2 AS b FROM pairs
+        |  UNION SELECT id2, id1 FROM pairs
+        |), reach(vid, c) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT sym.b, reach.c FROM reach JOIN sym ON reach.vid = sym.a
         |)
-        |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-        |FROM bandvec a JOIN bandvec b
-        |  ON a.band = b.band AND a.v0 = b.v0 AND a.v1 = b.v1 AND a.v2 = b.v2
-        |  AND a.doc_id < b.doc_id""".stripMargin,
+        |SELECT vid AS id, min(c) AS cluster,
+        |  CASE WHEN min(c) = vid THEN 1 ELSE 0 END AS survivor
+        |FROM reach GROUP BY vid""".stripMargin,
 
       // word2phrase at numIters=1, minFreq=30, minScore=0: the accepted set
       // reduces to bigrams with freq > 30 (score = (freq-30)/(f1·f2) ≥ 0

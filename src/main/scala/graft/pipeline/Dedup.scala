@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -195,6 +195,38 @@ object Dedup {
           && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
+  }
+
+  /** Near-duplicate CLUSTERS with survivor selection — the last stage of a
+    * real dedup pipeline: candidate pairs (from [[minhashCandidates]],
+    * [[simhashCandidates]] or [[ngramJaccard]]) are transitively closed
+    * into clusters via distributed connected components
+    * ([[graft.graph.ConnectedComponents.hashMin]] — min-label propagation,
+    * O(diameter) supersteps), and the minimum doc id of each cluster is
+    * marked the survivor. Near-duplication is not transitive, so pairwise
+    * candidates alone under-delete (A≈B, B≈C but A̸≈C still means keeping
+    * one of {A,B,C}); clustering is the standard fix (MinHash dedup as in
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", ACL'22).
+    *
+    * Returns one row PER INPUT DOC `(id, cluster, survivor 0/1)` — docs in
+    * no candidate pair (including shingle-less short docs that
+    * [[minhashCandidates]] filters out) are their own singleton cluster
+    * with survivor = 1, so `where(survivor = 1)` is exactly the kept
+    * corpus. Scale shape: the CC runs over the candidate-pair table (≪ the
+    * corpus — only near-dup docs appear), and the per-doc join back is one
+    * shuffle keyed on the 8-byte id; document text never moves. */
+  def dupClusters(spark: SparkSession, docs: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+    val comp = graft.graph.ConnectedComponents.hashMin(spark, edges)
+      .withColumnRenamed("vid", "id")
+    docs.select(col(idCol).as("id"))
+      .join(comp, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("component"), col("id")).as("cluster"))
+      .withColumn("survivor",
+        when(col("id") === col("cluster"), 1L).otherwise(0L))
   }
 
   /** Exact word-n-gram Jaccard similarity. Pair counting: |A∩B| from a

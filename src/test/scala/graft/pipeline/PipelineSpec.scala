@@ -84,6 +84,23 @@ class DedupSpec extends SparkSpec {
       s"shingle-less docs leaked into candidates: $cand")
   }
 
+  test("dupClusters: transitive closure of pairs, min-id survivor, singletons kept") {
+    // chain 1-2, 2-3 (NOT 1-3: near-dup is not transitive) must collapse
+    // into ONE cluster; 5-6 a second; 4 and 7 singletons
+    val ids = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id1", "id2")
+    val out = Dedup.dupClusters(spark, ids, "doc_id", pairs)
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, c, s) => id -> ((c, s)) }.toMap
+    assert(out == Map(
+      1L -> ((1L, 1L)), 2L -> ((1L, 0L)), 3L -> ((1L, 0L)),
+      4L -> ((4L, 1L)), 5L -> ((5L, 1L)), 6L -> ((5L, 0L)),
+      7L -> ((7L, 1L))), s"clusters: $out")
+    // survivors = exactly one per cluster = the kept corpus
+    val survivors = out.collect { case (id, (_, 1L)) => id }.toSet
+    assert(survivors == Set(1L, 4L, 5L, 7L))
+  }
+
   test("simhash planted hamming-8 pair: derived 9-block pigeonhole finds it, 4 blocks miss") {
     // 8 differing bits placed so EVERY 16-bit quarter differs (a 4-block
     // scheme guarantees recall only to hamming 3 and misses this pair)
