@@ -291,6 +291,12 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))),
     "t_fingerprint" -> ((s, dir) => // oracled: HUGEINT mod-2^64 rolling hash
       docs(s, dir).select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))),
+    "t_repetition" -> ((s, dir) => // oracled: dup/top n-gram fractions in list SQL
+      TextAnalysis.repetitionSignals(docs(s, dir), "text")
+        .select(col("doc_id"),
+          round(col("dup_word_frac"), 6).as("dup_word_frac"),
+          round(col("dup_bigram_frac"), 6).as("dup_bigram_frac"),
+          round(col("top_bigram_frac"), 6).as("top_bigram_frac"))),
     "e_ann_top1" -> ((s, dir) => {
       val v = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
       Ann.bruteForceTopK(v, v, 1)
@@ -1629,6 +1635,33 @@ object SparkEntry {
         |  FROM m GROUP BY 1)
         |SELECT label, countFarAway, countRecent FROM a
         |WHERE countFarAway < 230 AND countRecent >= 150""".stripMargin,
+
+      // Gopher repetition gate: duplicate-token / duplicate-bigram /
+      // top-bigram fractions, replayed over the same whitespace
+      // tokenization as every other text oracle; bigram = tokens joined
+      // with one space (the engine's concat_ws), list_distinct preserves
+      // the same cardinality the engine's array_distinct counts
+      "t_repetition" -> """
+        |WITH t AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, toks,
+        |    list_transform(range(len(toks) - 1),
+        |      i -> toks[i + 1] || ' ' || toks[i + 2]) AS bg
+        |  FROM t)
+        |SELECT doc_id,
+        |  round(CASE WHEN len(toks) > 0 THEN
+        |    (len(toks) - len(list_distinct(toks)))::DOUBLE / len(toks)
+        |    ELSE 0.0 END, 6) AS dup_word_frac,
+        |  round(CASE WHEN len(bg) > 0 THEN
+        |    (len(bg) - len(list_distinct(bg)))::DOUBLE / len(bg)
+        |    ELSE 0.0 END, 6) AS dup_bigram_frac,
+        |  round(CASE WHEN len(bg) > 0 THEN
+        |    list_max(list_transform(list_distinct(bg),
+        |      d -> len(list_filter(bg, x -> x = d))))::DOUBLE / len(bg)
+        |    ELSE 0.0 END, 6) AS top_bigram_frac
+        |FROM g""".stripMargin,
 
       "t_quality" -> """
         |WITH t AS (SELECT doc_id, text,

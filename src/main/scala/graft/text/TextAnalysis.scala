@@ -115,6 +115,44 @@ object TextAnalysis {
             + lit(0.2) * (lit(1.0) - least(col("punct_ratio") * 5, lit(1.0))))))
   }
 
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.3.2: duplicate
+    * and top n-gram fractions — the standard "remove repetitious documents
+    * before training" gate). Per document:
+    *
+    *  - `dup_word_frac`:   fraction of tokens that are repeats of an
+    *                       earlier token (1 − |distinct|/|tokens|)
+    *  - `dup_bigram_frac`: same over word bigrams
+    *  - `top_bigram_frac`: fraction of all bigram slots occupied by the
+    *                       single most frequent bigram
+    *
+    * Scale shape: pure per-row scalar expressions over the native
+    * tokenizer and n-gram kernels — no shuffle, no UDF, stays in
+    * whole-stage codegen. The top-bigram count is O(|distinct|·|grams|)
+    * per row (array HOFs), bounded by document length, never by corpus
+    * size. */
+  def repetitionSignals(df: DataFrame, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val grams = wordNgrams(col(textCol), 2)
+    df.withColumn("_t", toks)
+      .withColumn("_b", grams)
+      .withColumn("dup_word_frac",
+        when(size(col("_t")) > 0,
+          (size(col("_t")) - size(array_distinct(col("_t")))).cast("double")
+            / size(col("_t"))).otherwise(lit(0.0)))
+      .withColumn("dup_bigram_frac",
+        when(size(col("_b")) > 0,
+          (size(col("_b")) - size(array_distinct(col("_b")))).cast("double")
+            / size(col("_b"))).otherwise(lit(0.0)))
+      .withColumn("top_bigram_frac",
+        when(size(col("_b")) > 0,
+          aggregate(
+            transform(array_distinct(col("_b")),
+              g => size(filter(col("_b"), x => x === g))),
+            lit(0), (a, x) => greatest(a, x)).cast("double")
+            / size(col("_b"))).otherwise(lit(0.0)))
+      .drop("_t", "_b")
+  }
+
   /** 64-bit polynomial rolling-hash fingerprint of the whole document
     * (base 1000003, over UTF-16 code units). Deterministic, order-sensitive:
     * two documents share a fingerprint iff (modulo collisions) they are

@@ -268,6 +268,26 @@ class FunctionsSpec extends SparkSpec {
   private def fhofLike(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
     aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (a, v) => a + v)
 
+  test("repetitionSignals: dup/top n-gram fractions on crafted documents") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a a a"),          // dup_word 2/3; bigrams [a a, a a]: dup 1/2, top 2/2
+      (2L, "x y z"),          // no repeats; 2 distinct bigrams, top 1/2
+      (3L, "w"),              // no bigrams at all
+      (4L, ""),
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(docs, "text")
+      .select($"doc_id", $"dup_word_frac", $"dup_bigram_frac", $"top_bigram_frac")
+      .as[(Long, Double, Double, Double)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((2.0 / 3, 0.5, 1.0)))
+    assert(out(2L) == ((0.0, 0.0, 0.5)))
+    assert(out(3L) == ((0.0, 0.0, 0.0)))
+    assert(out(4L) == ((0.0, 0.0, 0.0)))
+    assert(out(5L) == ((0.0, 0.0, 0.0)))
+  }
+
   test("SQL surface: graft_* functions resolve via the extensions registry") {
     // SharedSpark is built by GraftSession, which wires GraftExtensions in
     val r = spark.sql(
