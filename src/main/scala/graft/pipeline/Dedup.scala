@@ -217,10 +217,24 @@ object Dedup {
     * corpus — only near-dup docs appear), and the per-doc join back is one
     * shuffle keyed on the 8-byte id; document text never moves. */
   def dupClusters(spark: SparkSession, docs: DataFrame, idCol: String,
-      pairs: DataFrame): DataFrame = {
+      pairs: DataFrame, maxIters: Int = 100): DataFrame = {
     val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
-    val comp = graft.graph.ConnectedComponents.hashMin(spark, edges)
+    val comp = graft.graph.ConnectedComponents.hashMin(spark, edges, maxIters)
       .withColumnRenamed("vid", "id")
+    // fail-loud closure check: hashMin caps at maxIters and returns
+    // part-propagated labels SILENTLY if a cluster's diameter exceeds it
+    // (pathological but possible for a chain-shaped near-dup corpus) —
+    // which would mark several docs of one cluster as survivors. A pair
+    // whose endpoints landed in different clusters is exactly that
+    // truncation; two id-keyed joins over the (small) pair table catch it.
+    val crossing = pairs
+      .join(comp.select(col("id").as("id1"), col("component").as("c1")), Seq("id1"))
+      .join(comp.select(col("id").as("id2"), col("component").as("c2")), Seq("id2"))
+      .where(col("c1") =!= col("c2")).count()
+    require(crossing == 0L,
+      s"dupClusters: $crossing candidate pairs cross cluster boundaries — " +
+        s"min-label propagation hit maxIters=$maxIters before convergence " +
+        "(cluster diameter exceeds it); raise maxIters")
     docs.select(col(idCol).as("id"))
       .join(comp, Seq("id"), "left")
       .select(col("id"),

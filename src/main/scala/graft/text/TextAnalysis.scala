@@ -127,30 +127,43 @@ object TextAnalysis {
     *
     * Scale shape: pure per-row scalar expressions over the native
     * tokenizer and n-gram kernels — no shuffle, no UDF, stays in
-    * whole-stage codegen. The top-bigram count is O(|distinct|·|grams|)
-    * per row (array HOFs), bounded by document length, never by corpus
-    * size. */
+    * whole-stage codegen. The top-bigram count is the longest equal run
+    * of the SORTED gram array (one `sort_array` + one linear `aggregate`
+    * pass, O(L log L) per row) — the naive count-each-distinct-gram form
+    * is O(L²) string comparisons, which stalls on exactly the long clean
+    * documents a repetition gate must wave through. Adds/overwrites the
+    * three signal columns on `df` (standard `withColumn` semantics). */
   def repetitionSignals(df: DataFrame, textCol: String): DataFrame = {
-    val toks = tokens(col(textCol))
-    val grams = wordNgrams(col(textCol), 2)
-    df.withColumn("_t", toks)
-      .withColumn("_b", grams)
+    // temp columns carry a graft-reserved prefix so a caller column can't
+    // collide and get silently dropped; tokenize ONCE and feed the bound
+    // token column into the gram kernel (inlining wordNgrams(text) would
+    // tokenize every row twice unless subexpression elimination fires)
+    val t = "__graft_rep_t"
+    val b = "__graft_rep_b"
+    df.withColumn(t, tokens(col(textCol)))
+      .withColumn(b, graft.functions.GraftExpressions.wordNgrams(col(t), 2))
       .withColumn("dup_word_frac",
-        when(size(col("_t")) > 0,
-          (size(col("_t")) - size(array_distinct(col("_t")))).cast("double")
-            / size(col("_t"))).otherwise(lit(0.0)))
+        when(size(col(t)) > 0,
+          (size(col(t)) - size(array_distinct(col(t)))).cast("double")
+            / size(col(t))).otherwise(lit(0.0)))
       .withColumn("dup_bigram_frac",
-        when(size(col("_b")) > 0,
-          (size(col("_b")) - size(array_distinct(col("_b")))).cast("double")
-            / size(col("_b"))).otherwise(lit(0.0)))
+        when(size(col(b)) > 0,
+          (size(col(b)) - size(array_distinct(col(b)))).cast("double")
+            / size(col(b))).otherwise(lit(0.0)))
       .withColumn("top_bigram_frac",
-        when(size(col("_b")) > 0,
+        when(size(col(b)) > 0,
           aggregate(
-            transform(array_distinct(col("_b")),
-              g => size(filter(col("_b"), x => x === g))),
-            lit(0), (a, x) => greatest(a, x)).cast("double")
-            / size(col("_b"))).otherwise(lit(0.0)))
-      .drop("_t", "_b")
+            sort_array(col(b)),
+            struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+            (st, x) => {
+              val run = when(x === st.getField("prev"),
+                st.getField("run") + 1).otherwise(lit(1))
+              struct(x.as("prev"), run.as("run"),
+                greatest(st.getField("best"), run).as("best"))
+            },
+            st => st.getField("best")).cast("double")
+            / size(col(b))).otherwise(lit(0.0)))
+      .drop(t, b)
   }
 
   /** 64-bit polynomial rolling-hash fingerprint of the whole document

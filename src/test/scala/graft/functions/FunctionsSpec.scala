@@ -276,7 +276,9 @@ class FunctionsSpec extends SparkSpec {
       (2L, "x y z"),          // no repeats; 2 distinct bigrams, top 1/2
       (3L, "w"),              // no bigrams at all
       (4L, ""),
-      (5L, null.asInstanceOf[String])
+      (5L, null.asInstanceOf[String]),
+      (6L, "b a b a b")       // bigrams [b a, a b, b a, a b]: the top run of
+                              // the SORTED array (a b, a b, b a, b a) is 2/4
     ).toDF("doc_id", "text")
     val out = TextAnalysis.repetitionSignals(docs, "text")
       .select($"doc_id", $"dup_word_frac", $"dup_bigram_frac", $"top_bigram_frac")
@@ -286,6 +288,7 @@ class FunctionsSpec extends SparkSpec {
     assert(out(3L) == ((0.0, 0.0, 0.0)))
     assert(out(4L) == ((0.0, 0.0, 0.0)))
     assert(out(5L) == ((0.0, 0.0, 0.0)))
+    assert(out(6L) == ((0.6, 0.5, 0.5)))
   }
 
   test("SQL surface: graft_* functions resolve via the extensions registry") {

@@ -101,6 +101,22 @@ class DedupSpec extends SparkSpec {
     assert(survivors == Set(1L, 4L, 5L, 7L))
   }
 
+  test("dupClusters fails loudly when maxIters truncates before convergence") {
+    // a 6-doc chain has diameter 5; min-label propagation at maxIters=1
+    // cannot close it — silent part-propagated labels would mark several
+    // chain members survivors, so the closure check must throw instead
+    val ids = (1L to 6L).toDF("doc_id")
+    val chain = (1L to 5L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dupClusters(spark, ids, "doc_id", chain, maxIters = 1).collect()
+    }
+    assert(e.getMessage.contains("maxIters"), e.getMessage)
+    // and with enough supersteps the same chain closes into one cluster
+    val ok = Dedup.dupClusters(spark, ids, "doc_id", chain)
+      .as[(Long, Long, Long)].collect()
+    assert(ok.forall(_._2 == 1L) && ok.count(_._3 == 1L) == 1)
+  }
+
   test("simhash planted hamming-8 pair: derived 9-block pigeonhole finds it, 4 blocks miss") {
     // 8 differing bits placed so EVERY 16-bit quarter differs (a 4-block
     // scheme guarantees recall only to hamming 3 and misses this pair)
