@@ -99,7 +99,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- graph kernels (north-rule core) -----------------------------------
     "g_pagerank" -> ((s, dir) => {
-      val r = PageRank.run(s, edgesPR(s, dir), maxIters = 5, tol = -1.0).ranks
+      // stepsPerJob = 5: all 5 supersteps chained in ONE Spark job (the
+      // ScalingProbe/north-metric fusion cadence) — per-superstep physical
+      // plans and partitioning are identical to the unfused form
+      // (spec-asserted trajectory identity), only the per-job fixed cost
+      // (job launch + eager |V|-state materialization) is paid once
+      val r = PageRank.run(s, edgesPR(s, dir), maxIters = 5, tol = -1.0,
+        stepsPerJob = 5).ranks
       r.select(col("vid"), round(col("rank"), 6).as("rank"))
     }),
     "g_components" -> ((s, dir) =>

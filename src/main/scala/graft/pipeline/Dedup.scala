@@ -213,34 +213,69 @@ object Dedup {
     * no candidate pair (including shingle-less short docs that
     * [[minhashCandidates]] filters out) are their own singleton cluster
     * with survivor = 1, so `where(survivor = 1)` is exactly the kept
-    * corpus. Scale shape: the CC runs over the candidate-pair table (≪ the
-    * corpus — only near-dup docs appear), and the per-doc join back is one
-    * shuffle keyed on the 8-byte id; document text never moves. */
+    * corpus. The survivor of a cluster is the minimum id among the
+    * cluster's members THAT APPEAR IN `docs` — for the normal case (every
+    * pair endpoint is a doc id) that is exactly the cluster label, and
+    * when a pair references an id absent from `docs`, the cluster still
+    * keeps one real document instead of silently losing them all (the
+    * min-label survivor would name the absent id). Scale shape: the CC
+    * runs over the candidate-pair table (≪ the corpus — only near-dup
+    * docs appear), and the per-doc join back is one shuffle keyed on the
+    * 8-byte id; document text never moves.
+    *
+    * NOTE this call EXECUTES Spark jobs eagerly (it is not a purely lazy
+    * DataFrame builder): the CC supersteps run here, and with
+    * `verifyClosure = true` (default) one extra job re-joins the pair
+    * table against the final labels to fail loudly if min-label
+    * propagation hit `maxIters` before convergence — hashMin would
+    * otherwise return part-propagated labels silently and several docs of
+    * one cluster would be marked survivors. The check reads the PERSISTED
+    * pair table and the localCheckpoint'd labels (no recompute of the
+    * candidate-generation plan); disable it only for latency-critical
+    * callers that bound cluster diameter some other way. */
   def dupClusters(spark: SparkSession, docs: DataFrame, idCol: String,
-      pairs: DataFrame, maxIters: Int = 100): DataFrame = {
-    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      pairs: DataFrame, maxIters: Int = 100,
+      verifyClosure: Boolean = true): DataFrame = {
+    // candidate generation (e.g. the whole minhash signing pipeline) is the
+    // expensive subtree here, and it feeds several consumers: the CC vertex
+    // universe, the symmetrized edge table, and the closure check. Persist
+    // it once — without this each consumer re-executes the generation plan
+    // (ADVICE r5: 3 re-executions measured), and at 100 TB that is 3 corpus
+    // scans instead of 1. Unpersisted before return: downstream consumers
+    // only read the localCheckpoint'd labels.
+    val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = p.select(col("id1").as("src"), col("id2").as("dst"))
     val comp = graft.graph.ConnectedComponents.hashMin(spark, edges, maxIters)
       .withColumnRenamed("vid", "id")
-    // fail-loud closure check: hashMin caps at maxIters and returns
-    // part-propagated labels SILENTLY if a cluster's diameter exceeds it
-    // (pathological but possible for a chain-shaped near-dup corpus) —
-    // which would mark several docs of one cluster as survivors. A pair
-    // whose endpoints landed in different clusters is exactly that
-    // truncation; two id-keyed joins over the (small) pair table catch it.
-    val crossing = pairs
-      .join(comp.select(col("id").as("id1"), col("component").as("c1")), Seq("id1"))
-      .join(comp.select(col("id").as("id2"), col("component").as("c2")), Seq("id2"))
-      .where(col("c1") =!= col("c2")).count()
-    require(crossing == 0L,
-      s"dupClusters: $crossing candidate pairs cross cluster boundaries — " +
-        s"min-label propagation hit maxIters=$maxIters before convergence " +
-        "(cluster diameter exceeds it); raise maxIters")
-    docs.select(col(idCol).as("id"))
+    if (verifyClosure) {
+      // fail-loud closure check (see scaladoc): a pair whose endpoints
+      // landed in different clusters is exactly a maxIters truncation; two
+      // id-keyed joins over the (small, persisted) pair table catch it.
+      val crossing = p
+        .join(comp.select(col("id").as("id1"), col("component").as("c1")), Seq("id1"))
+        .join(comp.select(col("id").as("id2"), col("component").as("c2")), Seq("id2"))
+        .where(col("c1") =!= col("c2")).count()
+      require(crossing == 0L,
+        s"dupClusters: $crossing candidate pairs cross cluster boundaries — " +
+          s"min-label propagation hit maxIters=$maxIters before convergence " +
+          "(cluster diameter exceeds it); raise maxIters")
+    }
+    p.unpersist()
+    val docIds = docs.select(col(idCol).as("id"))
+    // survivor = min id among the cluster's members PRESENT IN docs: the
+    // label itself for well-formed inputs (hashMin labels with the min
+    // member), computed over the small label table (pair endpoints only),
+    // never over the corpus — singletons coalesce to themselves below
+    val surv = comp.join(docIds, Seq("id"), "left_semi")
+      .groupBy(col("component"))
+      .agg(min(col("id")).as("survivorId"))
+    docIds
       .join(comp, Seq("id"), "left")
+      .join(surv, Seq("component"), "left")
       .select(col("id"),
-        coalesce(col("component"), col("id")).as("cluster"))
-      .withColumn("survivor",
-        when(col("id") === col("cluster"), 1L).otherwise(0L))
+        coalesce(col("component"), col("id")).as("cluster"),
+        when(col("id") === coalesce(col("survivorId"), col("id")), 1L)
+          .otherwise(0L).as("survivor"))
   }
 
   /** Exact word-n-gram Jaccard similarity. Pair counting: |A∩B| from a

@@ -142,6 +142,35 @@ class GraphKernelsSpec extends SparkSpec {
     assert(math.abs(g1 - 1.0) < 0.01 && math.abs(g2 - 1.0) < 0.01)
   }
 
+  test("KahanSumAgg (codegen'd declarative) is bit-identical to the Aggregator form") {
+    // same arithmetic, same op order: on a FIXED partitioning the declarative
+    // HashAggregate and the udaf ObjectHashAggregate must agree on every bit
+    // (update path, merge path with live compensation, empty-ish groups)
+    val xs = (0 until 2000).flatMap(i =>
+      Seq(1e16, 1.0, -1e16, 0.001 * i, -1.0, 1e-9 * i))
+    val df = xs.zipWithIndex
+      .map { case (x, i) => (i % 7L, x) }.toDF("k", "x")
+      .repartition(5, $"k").cache()
+    df.count()
+    val native = df.groupBy($"k").agg(KahanSum.column($"x").as("s"))
+      .as[(Long, Double)].collect().toMap
+    val udafForm = df.groupBy($"k").agg(KahanSum.columnUdaf($"x").as("s"))
+      .as[(Long, Double)].collect().toMap
+    assert(native.keySet == udafForm.keySet)
+    native.foreach { case (k, v) =>
+      assert(java.lang.Double.doubleToRawLongBits(v) ==
+        java.lang.Double.doubleToRawLongBits(udafForm(k)),
+        s"group $k: declarative $v != udaf ${udafForm(k)}")
+    }
+    df.unpersist()
+    // plan check: the column form must NOT plan an ObjectHashAggregate
+    val plan = df.groupBy($"k").agg(KahanSum.column($"x"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ObjectHashAggregate"),
+      s"kahan_sum still plans ObjectHashAggregate:\n$plan")
+    assert(plan.contains("HashAggregate"), s"expected HashAggregate:\n$plan")
+  }
+
   test("stepsPerJob block fusion computes the same fixpoint trajectory") {
     // chaining k supersteps per job is a driver-side fusion only: the math
     // per superstep is identical, so 12 steps = 4 blocks of 3 = 12 blocks
