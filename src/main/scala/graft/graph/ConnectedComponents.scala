@@ -25,12 +25,23 @@ import graft.io.TableIO
   */
 object ConnectedComponents {
 
-  /** Symmetrize + dedup: every undirected edge present in both directions. */
+  /** Symmetrize + dedup: every undirected edge present in both directions.
+    *
+    * Shape (guide §2.3 — shuffle fewer bytes): canonicalize each edge to
+    * `(min, max)` FIRST and dedup that, then mirror the deduped set with a
+    * narrow projection. The dedup exchange now carries |E| canonical rows
+    * instead of the 2|E| rows the mirror-then-distinct form shuffled —
+    * half the bytes through the only exchange of the operator, with an
+    * identical output set (a directed pair and its reverse canonicalize to
+    * the same row; the mirror of a strict-u<v set cannot collide with the
+    * set itself, so no second distinct is needed). */
   def symmetrize(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
-    e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val canon = edges
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
       .where(col("src") =!= col("dst"))
       .distinct()
+    canon.union(canon.select(col("dst").as("src"), col("src").as("dst")))
   }
 
   /** @param checkpointEvery TableIO commit cadence in supersteps (with
@@ -161,10 +172,12 @@ object ConnectedComponents {
       spark: SparkSession,
       edges: DataFrame,
       maxIters: Int = 50): DataFrame = {
-    var e = symmetrize(edges)
-      .where(col("src") =!= col("dst"))
+    // canonical (u > v) pairs directly — symmetrize-then-recanonicalize
+    // would dedup the same |E| set through a 2|E|-row exchange (guide §2.3)
+    var e = edges
       .select(greatest(col("src"), col("dst")).as("u"),
         least(col("src"), col("dst")).as("v"))
+      .where(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true)
     // invariant: pairs (u, v) with v < u ("child -> smaller neighbor")

@@ -181,6 +181,13 @@ object PageRank {
     val n = g.n
     val hasDanglers = g.hasDanglers
 
+    // Join strategy note (guide §3.1, measured r6): a shuffled-hash hint on
+    // the state side of the contribution join (skipping its per-superstep
+    // sort) benched WITHIN NOISE of sort-merge on the 18M-edge probe
+    // (interleaved A/B: 5.35/5.77 SMJ vs 5.52/5.68 SHJ) — the superstep is
+    // shuffle-bound, not sort-bound. Sort-merge stays: it spills gracefully
+    // when a 100 TB state partition outgrows task memory.
+
     // one chained superstep: state (vid, outDeg, rank) -> next state
     def superstep(st: DataFrame): DataFrame = {
       val contribs = e

@@ -246,11 +246,25 @@ object Ann {
         s"$centroidCeiling; a centroid table that large belongs in a join, " +
         "not a broadcast (raise the ceiling only if the driver has the memory)")
     val spark = data.sparkSession
-    val base = data.select(col("id"), col("vec")).repartition(col("id"))
+    // explicit isnotnull(id): semantically a no-op (every output path inner-
+    // joins on the id), but load-bearing for exchange reuse — the vector
+    // re-attach joins infer it and push it below THEIR exchange while the
+    // probe branches (blocked by the nondeterministic UDF boundary) do not,
+    // leaving the subtrees canonically different. Stating it once makes all
+    // four consumers' exchange subtrees identical (the ngramJaccard lesson,
+    // Dedup.scala).
+    val base = data.select(col("id"), col("vec"))
+      .where(col("id").isNotNull).repartition(col("id"))
     // deterministic coarse quantizer: nlist smallest-id vectors, normalized
     // driver-side with the exact ascending fold Ann.normalize uses, so the
-    // oracle's list_reduce replay agrees on every double bit
-    val centRows = base.orderBy(col("id")).limit(nlist).collect()
+    // oracle's list_reduce replay agrees on every double bit.
+    // Read from `data` directly, NOT `base`: the centroid pick is its own
+    // job (collect), so routing it through `base` would pay a full
+    // id-keyed shuffle of the corpus just to TakeOrdered nlist rows —
+    // the exchange is only shareable within one query, never across the
+    // collect boundary (guide §2.4: remove shuffles outright).
+    val centRows = data.select(col("id"), col("vec"))
+      .orderBy(col("id")).limit(nlist).collect()
     val centroids: Array[(Any, Array[Double])] = centRows.map { r =>
       val raw = r.getSeq[Any](1).map {
         case f: java.lang.Float => f.toDouble
@@ -300,7 +314,19 @@ object Ann {
           .map(i => scored(i)._1.asInstanceOf[Number].longValue)
       }
     }
-    val probed = base.select(col("id"), probeUdf(col("vec")).as("probes"))
+    // asNondeterministic (guide §4.4): the optimizer otherwise pushes the
+    // explode's inferred predicates (`size(probes) > 0`, `isnotnull`) and
+    // the corpus side's join-key constraint BELOW the shared id-keyed
+    // exchange as filters that re-evaluate this UDF — plan-audited: the
+    // full centroid-assignment pass ran once in the filter and again in
+    // the projection on BOTH branches, and the four consumer subtrees
+    // (query explode, corpus cell, two vector re-attaches) stopped being
+    // canonically identical, so every one re-scanned and re-shuffled the
+    // corpus (4 scans instead of 1 + 3 ReusedExchange). The UDF is
+    // genuinely deterministic — the marker only stops the optimizer from
+    // duplicating/relocating it; results are unchanged (oracle-pinned).
+    val probed = base.select(col("id"),
+      probeUdf.asNondeterministic()(col("vec")).as("probes"))
     // corpus membership: exactly one cell per vector (probes[0]); query
     // side explodes its probe list. Bare ids + a small long key only.
     val corpusSide0 = probed.select(col("id").as("cid"),
