@@ -83,22 +83,32 @@ object ConnectedComponents {
       checkpointEvery: Int = 1,
       stepsPerJob: Int = 1): DataFrame = {
     val ckpt = Option(checkpointTable).filter(_.nonEmpty)
-    // symmetrize ends in distinct() = hash partitioning on (src, dst),
-    // which does NOT satisfy the per-iteration join's clustering on src —
-    // without the explicit src repartition every superstep re-shuffles
-    // the full 2|E| edge table. Partition+sort once, cache, reuse.
+    // ONE scan of the input feeds the whole setup: the canonical (min,max)
+    // edge rows — INCLUDING self-loop rows, so the vertex universe keeps
+    // loop-only vertices (referee-pinned r5 fix) — are deduped once and
+    // persisted; both the vertex universe and the symmetrized table derive
+    // from that cache. Previously the vertex-endpoint distinct and the
+    // symmetrize each recomputed the full input subtree (two scans +
+    // derivations of a 100 TB edge table); the canonical dedup also
+    // shuffles |E| rows instead of the 2|E| a mirror-then-distinct would
+    // (guide §2.3/§2.4).
+    // The final layout still ends in repartition(src) + sortWithinPartitions
+    // (CSR blocks): distinct's (src,dst) hash partitioning does NOT satisfy
+    // the per-iteration join's clustering on src.
     // A self-loop per vertex is unioned in BEFORE the layout: it feeds each
     // vertex its own component through the same aggregate that feeds it the
     // neighbors' (single-use state — see scaladoc), at +|V| rows on 2|E|.
-    // The vertex universe comes from the RAW edge endpoints, NOT the
-    // symmetrized table: symmetrize drops self-loops, so a vertex whose
-    // only incident edges are self-loops would otherwise vanish from the
-    // output instead of appearing as its own singleton component
-    // (referee-pinned).
-    val vertices = edges.select(col("src").as("vid"))
-      .union(edges.select(col("dst").as("vid"))).distinct()
+    val canon = edges
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val sym = symmetrize(edges)
+    val vertices = canon.select(col("src").as("vid"))
+      .union(canon.select(col("dst").as("vid"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sym0 = canon.where(col("src") =!= col("dst"))
+    val sym = sym0
+      .union(sym0.select(col("dst").as("src"), col("src").as("dst")))
       .union(vertices.select(col("vid").as("src"), col("vid").as("dst")))
       .repartition(col("src"))
       .sortWithinPartitions("src", "dst")
@@ -156,7 +166,7 @@ object ConnectedComponents {
       labels = result
       step += block
     }
-    sym.unpersist(); vertices.unpersist()
+    sym.unpersist(); vertices.unpersist(); canon.unpersist()
     labels
   }
 

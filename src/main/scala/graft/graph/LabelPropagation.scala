@@ -69,10 +69,21 @@ object LabelPropagation {
     // symmetrized table: symmetrize drops self-loops, so a vertex whose
     // only incident edges are self-loops would otherwise vanish from the
     // output (it keeps its own label via the vote-weight-0 self-loop row).
-    val vertices = edges.select(col("src").as("vid"))
-      .union(edges.select(col("dst").as("vid"))).distinct()
+    // ONE scan of the input feeds the setup (same shape as hashMin): the
+    // canonical (min,max) edge rows — self-loop rows included, so
+    // loop-only vertices stay in the universe — deduped once, persisted,
+    // and consumed by both the vertex universe and the symmetrized table.
+    val canon = edges
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val sym = ConnectedComponents.symmetrize(edges)
+    val vertices = canon.select(col("src").as("vid"))
+      .union(canon.select(col("dst").as("vid"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sym0 = canon.where(col("src") =!= col("dst"))
+    val sym = sym0
+      .union(sym0.select(col("dst").as("src"), col("src").as("dst")))
       .select(col("src"), col("dst"), lit(0).as("self"))
       .union(vertices.select(col("vid").as("src"), col("vid").as("dst"),
         lit(1).as("self")))
@@ -136,7 +147,7 @@ object LabelPropagation {
       labels = next
       step += block
     }
-    sym.unpersist(); vertices.unpersist()
+    sym.unpersist(); vertices.unpersist(); canon.unpersist()
     labels
   }
 }
