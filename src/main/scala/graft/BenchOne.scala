@@ -74,7 +74,23 @@ object BenchOne {
       "langid_udf" -> (() => docs.select(
         graft.text.TextAnalysis.langIdUdf(
           graft.text.TextAnalysis.tokens(col("text"))).as("v"))
-        .agg(count(when(col("v") === "en", 1)))))
+        .agg(count(when(col("v") === "en", 1)))),
+      "hyperplane_native" -> (() => vecs.select(
+        graft.pipeline.Ann.hyperplaneSignature(col("vec"), 8).as("v"))
+        .agg(max(col("v")))),
+      "hyperplane_udf" -> (() => vecs.select(
+        graft.pipeline.Ann.hyperplaneSignatureUdf(col("vec"), 8).as("v"))
+        .agg(max(col("v")))),
+      "maxrun_native" -> (() => docs.select(
+        graft.functions.GraftExpressions.maxSortedRun(
+          graft.functions.GraftExpressions.wordNgrams(
+            graft.text.TextAnalysis.tokens(col("text")), 2)).as("v"))
+        .agg(sum(col("v")))),
+      "maxrun_hof" -> (() => docs.select(
+        graft.text.TextAnalysis.topRunHof(
+          graft.functions.GraftExpressions.wordNgrams(
+            graft.text.TextAnalysis.tokens(col("text")), 2)).as("v"))
+        .agg(sum(col("v")))))
     // one untimed warm pass per form (codegen/JIT), then interleaved reps
     pairs.foreach(_._2().collect())
     val times = scala.collection.mutable.Map.empty[String, List[Double]]

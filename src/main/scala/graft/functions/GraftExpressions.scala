@@ -110,6 +110,29 @@ object GraftExpressions {
     GraftSqlBridge.column(DotProduct(
       GraftSqlBridge.expression(x.cast("array<double>")),
       GraftSqlBridge.expression(y.cast("array<double>"))))
+
+  /** `Column` wrapper: random-hyperplane LSH signature of a numeric vector
+    * (see [[HashKernels.hyperplaneSig]]); the `array<double>` cast is the
+    * same float-widening the scalar UDF's `Seq[Double]` parameter forced.
+    * Null vector coalesces to 0L, matching the UDF's explicit null branch
+    * (zero sign bits). */
+  def hyperplaneSignature(vec: Column, numPlanes: Int, planeOffset: Int): Column = {
+    require(numPlanes >= 1 && numPlanes <= 64,
+      s"hyperplane numPlanes must be in 1..64, got $numPlanes")
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    coalesce(
+      GraftSqlBridge.column(HyperplaneSig(
+        GraftSqlBridge.expression(vec.cast("array<double>")),
+        numPlanes, planeOffset)),
+      lit(0L))
+  }
+
+  /** `Column` wrapper: max frequency of any element of a string array =
+    * longest equal run of its sorted order (see
+    * [[HashKernels.maxSortedRun]]). Null array in → null out (the caller's
+    * `when(size(b) > 0, ...)` guard handles the empty/null contract). */
+  def maxSortedRun(arr: Column): Column =
+    GraftSqlBridge.column(MaxSortedRun(GraftSqlBridge.expression(arr)))
 }
 
 /** Whitespace tokenizer (see [[HashKernels.whitespaceTokens]]) — maximal
@@ -326,4 +349,54 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)
+}
+
+/** Random-hyperplane LSH signature of an `array<double>` column — the
+  * native form of the scalar signature UDF in [[graft.pipeline.Ann]]
+  * (see [[HashKernels.hyperplaneSig]]: identical splitmix plane family,
+  * identical ascending-dim fold, bit-identical sign bits — pinned by the
+  * e_lsh_top1 oracle). Runs `numPlanes` O(d) projections per ROW on every
+  * LSH path, which is exactly where the ScalaUDF tax (converter + boxed
+  * Seq + megamorphic dispatch) compounds at 100 TB. Null in → null out;
+  * the Column wrapper coalesces to 0L for the UDF's null contract.
+  * `numPlanes`/`planeOffset` are plan constants baked into the generated
+  * call site. */
+case class HyperplaneSig(child: Expression, numPlanes: Int, planeOffset: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hyperplane_sig"
+
+  protected override def nullSafeEval(input: Any): Any =
+    HashKernels.hyperplaneSig(input.asInstanceOf[ArrayData], numPlanes, planeOffset)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashKernels.hyperplaneSig($c, $numPlanes, $planeOffset)")
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =
+    copy(child = newChild)
+}
+
+/** Max element frequency of an `array<string>` column, computed as the
+  * longest equal run of the sorted array (see [[HashKernels.maxSortedRun]];
+  * integer-valued, order-of-sort invariant). The native form of the
+  * interpreted `aggregate(sort_array(b), struct(prev, run, best), ...)`
+  * higher-order fold on the repetition-signals path — HigherOrderFunction
+  * never codegens, and that fold allocated a struct per ELEMENT per row.
+  * Null array in → null out. */
+case class MaxSortedRun(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_max_sorted_run"
+
+  protected override def nullSafeEval(input: Any): Any =
+    HashKernels.maxSortedRun(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.maxSortedRun($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): MaxSortedRun =
+    copy(child = newChild)
 }

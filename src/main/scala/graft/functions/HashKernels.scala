@@ -440,4 +440,61 @@ object HashKernels {
     while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
     acc
   }
+
+  /** Random-hyperplane LSH signature of a double vector: `numPlanes` sign
+    * bits packed into a long, plane `p`'s component at dim `j` being
+    * `mix(mix(planeOffset+p) ^ (j * 0xC2B2AE3D27D4EB4D)) / 2^63` — the
+    * exact double chain of [[graft.pipeline.Ann.planeComponent]] and the
+    * scalar UDF this replaces (projection is the same ascending-dim left
+    * fold, divide-then-multiply-then-add, so every acc double is
+    * bit-identical and the e_lsh_top1 oracle replays unchanged). A null
+    * ELEMENT contributes 0.0, matching the UDF's `Seq[Double]` unboxing of
+    * a null slot. One fused pass, no boxed Seq, no converter — the UDF
+    * paid catalyst→Scala conversion of the whole vector per row. */
+  def hyperplaneSig(v: ArrayData, numPlanes: Int, planeOffset: Int): Long = {
+    val n = v.numElements()
+    var bits = 0L
+    var p = 0
+    while (p < numPlanes) {
+      val pm = mix((planeOffset + p).toLong)
+      var acc = 0.0
+      var j = 0
+      while (j < n) {
+        val x = if (v.isNullAt(j)) 0.0 else v.getDouble(j)
+        acc += x * (mix(pm ^ (j.toLong * 0xC2B2AE3D27D4EB4FL)).toDouble /
+          Long.MaxValue.toDouble)
+        j += 1
+      }
+      if (acc >= 0) bits |= (1L << p)
+      p += 1
+    }
+    bits
+  }
+
+  /** Longest run of equal elements in the SORTED order of a string array =
+    * the maximum frequency of any element (invariant to WHICH total order
+    * sorts it, so binary UTF8String order here vs `sort_array`'s in the
+    * HOF reference form cannot change the result). Replaces the
+    * interpreted `aggregate(sort_array(b), struct(prev,run,best), ...)`
+    * fold on the per-document repetition-signal path — integer-valued, so
+    * equivalence is exact, not FP-sensitive. Empty array → 0 (the HOF
+    * form's initial `best`). */
+  def maxSortedRun(arr: ArrayData): Int = {
+    val n = arr.numElements()
+    if (n == 0) return 0
+    val a = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { a(i) = arr.getUTF8String(i); i += 1 }
+    // natural-order sort: UTF8String is Comparable (binary byte order)
+    java.util.Arrays.sort(a.asInstanceOf[Array[Object]])
+    var best = 1
+    var run = 1
+    i = 1
+    while (i < n) {
+      if (a(i).equals(a(i - 1))) { run += 1; if (run > best) best = run }
+      else run = 1
+      i += 1
+    }
+    best
+  }
 }

@@ -124,11 +124,20 @@ object Ann {
   /** Random-hyperplane LSH signature: `numPlanes` sign bits packed into a
     * LONG. Vectors with equal signatures are near-neighbor candidates.
     * `planeOffset` selects an independent plane family per hash table.
-    * One scalar UDF pass computes every projection (primitive arithmetic,
-    * one traversal of the vector per plane — the minhashSignature shape);
-    * projection order is ascending dim, a fixed left fold, so the oracle's
-    * sequential list_reduce reproduces the doubles bit-exactly. */
-  def hyperplaneSignature(vec: Column, numPlanes: Int, planeOffset: Int = 0): Column = {
+    * Native codegen'd expression ([[graft.functions.HyperplaneSig]]): one
+    * pass computes every projection (primitive arithmetic, one traversal
+    * of the vector per plane — the minhashSignature shape) over ArrayData
+    * in place; [[hyperplaneSignatureUdf]] is the scalar-UDF reference form
+    * it is spec-asserted bit-identical to. Projection order is ascending
+    * dim, a fixed left fold, so the oracle's sequential list_reduce
+    * reproduces the doubles bit-exactly. */
+  def hyperplaneSignature(vec: Column, numPlanes: Int, planeOffset: Int = 0): Column =
+    graft.functions.GraftExpressions.hyperplaneSignature(vec, numPlanes, planeOffset)
+
+  /** Reference form of [[hyperplaneSignature]], kept for the FunctionsSpec
+    * bit-identity cross-check. */
+  private[graft] def hyperplaneSignatureUdf(
+      vec: Column, numPlanes: Int, planeOffset: Int = 0): Column = {
     val premixes = Array.tabulate(numPlanes)(p =>
       graft.ingest.Pages.mix((planeOffset + p).toLong))
     val sigUdf = udf { (v: Seq[Double]) =>

@@ -127,12 +127,15 @@ object TextAnalysis {
     *
     * Scale shape: pure per-row scalar expressions over the native
     * tokenizer and n-gram kernels — no shuffle, no UDF, stays in
-    * whole-stage codegen. The top-bigram count is the longest equal run
-    * of the SORTED gram array (one `sort_array` + one linear `aggregate`
-    * pass, O(L log L) per row) — the naive count-each-distinct-gram form
-    * is O(L²) string comparisons, which stalls on exactly the long clean
-    * documents a repetition gate must wave through. Adds/overwrites the
-    * three signal columns on `df` (standard `withColumn` semantics). */
+    * whole-stage codegen. The top-bigram count is the max gram frequency =
+    * the longest equal run of the SORTED gram array, computed by the
+    * native [[graft.functions.MaxSortedRun]] kernel (one sort + one linear
+    * pass, O(L log L) per row; [[topRunHof]] is the interpreted
+    * `aggregate(sort_array(...))` reference fold it is spec-asserted
+    * equal to) — the naive count-each-distinct-gram form is O(L²) string
+    * comparisons, which stalls on exactly the long clean documents a
+    * repetition gate must wave through. Adds/overwrites the three signal
+    * columns on `df` (standard `withColumn` semantics). */
   def repetitionSignals(df: DataFrame, textCol: String): DataFrame = {
     // temp columns carry a graft-reserved prefix so a caller column can't
     // collide and get silently dropped; tokenize ONCE and feed the bound
@@ -152,19 +155,26 @@ object TextAnalysis {
             / size(col(b))).otherwise(lit(0.0)))
       .withColumn("top_bigram_frac",
         when(size(col(b)) > 0,
-          aggregate(
-            sort_array(col(b)),
-            struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
-            (st, x) => {
-              val run = when(x === st.getField("prev"),
-                st.getField("run") + 1).otherwise(lit(1))
-              struct(x.as("prev"), run.as("run"),
-                greatest(st.getField("best"), run).as("best"))
-            },
-            st => st.getField("best")).cast("double")
+          graft.functions.GraftExpressions.maxSortedRun(col(b)).cast("double")
             / size(col(b))).otherwise(lit(0.0)))
       .drop(t, b)
   }
+
+  /** Reference form of the top-bigram counter — the interpreted
+    * `aggregate(sort_array(...))` longest-equal-run fold the native
+    * [[graft.functions.MaxSortedRun]] kernel replaces; kept for the
+    * FunctionsSpec equality cross-check. */
+  private[graft] def topRunHof(b: Column): Column =
+    aggregate(
+      sort_array(b),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (st, x) => {
+        val run = when(x === st.getField("prev"),
+          st.getField("run") + 1).otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(st.getField("best"), run).as("best"))
+      },
+      st => st.getField("best"))
 
   /** 64-bit polynomial rolling-hash fingerprint of the whole document
     * (base 1000003, over UTF-16 code units). Deterministic, order-sensitive:

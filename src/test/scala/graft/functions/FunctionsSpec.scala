@@ -268,6 +268,66 @@ class FunctionsSpec extends SparkSpec {
   private def fhofLike(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
     aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (a, v) => a + v)
 
+  test("HyperplaneSig expression is bit-identical to the scalar signature UDF") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(23)
+    // gaussian vectors of varied dims, near-zero projections (sign-boundary
+    // stress), empty vector, plus a null row (UDF null branch -> 0L)
+    val vecs: Seq[Seq[Double]] = (0 until 120).map { _ =>
+      Seq.fill(1 + rnd.nextInt(96))(rnd.nextGaussian())
+    } ++ (0 until 20).map { _ =>
+      Seq.fill(64)(rnd.nextGaussian() * 1e-12)
+    } :+ Seq.empty[Double]
+    val df = (vecs :+ null.asInstanceOf[Seq[Double]]).toDF("vec")
+    for (planes <- Seq(1, 8, 16, 64); off <- Seq(0, 8, 37)) {
+      val both = df.select(
+        graft.pipeline.Ann.hyperplaneSignatureUdf(col("vec"), planes, off).as("udf"),
+        graft.pipeline.Ann.hyperplaneSignature(col("vec"), planes, off).as("native"))
+      both.collect().foreach { r =>
+        assert(r.getLong(0) == r.getLong(1),
+          s"hyperplane mismatch at planes=$planes off=$off on $r")
+      }
+    }
+    // float inputs widen identically (the UDF's Seq[Double] cast vs the
+    // wrapper's array<double> cast)
+    val fdf = vecs.map(v => v.map(_.toFloat)).toDF("vec")
+    val fboth = fdf.select(
+      graft.pipeline.Ann.hyperplaneSignatureUdf(col("vec"), 8, 0).as("udf"),
+      graft.pipeline.Ann.hyperplaneSignature(col("vec"), 8, 0).as("native"))
+    fboth.collect().foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), s"float hyperplane mismatch on $r")
+    }
+    // stays out of ScalaUDF in the plan
+    val plan = df.select(graft.pipeline.Ann.hyperplaneSignature(col("vec"), 8, 0))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_hyperplane_sig") && !plan.contains("ScalaUDF"), plan)
+  }
+
+  test("MaxSortedRun expression equals the aggregate(sort_array) reference fold") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(31)
+    // small-alphabet token arrays force heavy duplication; include empty,
+    // single, all-equal, and adversarial unicode grams
+    val arrays: Seq[Seq[String]] = (0 until 150).map { _ =>
+      Seq.fill(rnd.nextInt(60))(s"tok${rnd.nextInt(6)} g${rnd.nextInt(4)}")
+    } ++ Seq(Seq.empty[String], Seq("only"), Seq.fill(17)("same gram")) ++
+      adversarial.grouped(7).map(_.toSeq).toSeq
+    val df = (arrays :+ null.asInstanceOf[Seq[String]]).toDF("b")
+    val both = df.select(
+      TextAnalysis.topRunHof(col("b")).as("hof"),
+      GraftExpressions.maxSortedRun(col("b")).as("native"))
+    both.collect().foreach { r =>
+      val a = if (r.isNullAt(0)) null else Int.box(r.getInt(0))
+      val b = if (r.isNullAt(1)) null else Int.box(r.getInt(1))
+      assert(a == b, s"maxSortedRun mismatch: hof=$a native=$b in $r")
+    }
+    val plan = df.select(GraftExpressions.maxSortedRun(col("b")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_max_sorted_run"), plan)
+  }
+
   test("repetitionSignals: dup/top n-gram fractions on crafted documents") {
     val s = spark
     import s.implicits._
